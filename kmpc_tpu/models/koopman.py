@@ -1,0 +1,423 @@
+"""Koopman autoencoder models: GenericKM (= SparseKM) and LISTAKM.
+
+TPU-native rebuild of the reference KoopmanMachine hierarchy
+(reference: model.py:216-904). Design divergences, on purpose:
+
+- The model is a frozen dataclass of *static* architecture choices; all
+  learnable state lives in a parameter pytree. Every method is a pure
+  function of ``(params, inputs)`` — jit/vmap/grad/shard_map compose
+  directly (the reference is stateful nn.Module).
+- Multi-step rollouts are ``jax.lax.scan`` over the latent matmul, not
+  Python loops (reference: model.py:550-552).
+- The Koopman-spectrum metric (max eigenvalue) is NOT computed inside the
+  training step: the reference calls torch.linalg.eigvals every step on
+  the CPU (reference: model.py:492-499, 663-669), a device->host sync per
+  step. Here :func:`spectral_metrics` is a host-side helper the train loop
+  calls at logging intervals only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kmpc_tpu.config import Config
+from kmpc_tpu.models.lista import lista_apply, lista_init
+from kmpc_tpu.models.mlp import mlp_apply, mlp_init
+
+
+@dataclass(frozen=True)
+class KoopmanModel:
+    """Static architecture description; params are a separate pytree.
+
+    API parity (reference: model.py:216-335): encode / decode / kmatrix /
+    step_latent / step_env / residual / reconstruction / sparsity_loss /
+    rollout_latent_discrete / rollout_sequence / loss / loss_sequence,
+    plus the continuous-time ODE path.
+    """
+
+    model_name: str
+    observation_size: int
+    target_size: int
+    norm_fn: str = "id"                     # id|ball (reference: model.py:740-754)
+
+    # Encoder architecture
+    encoder_layers: Tuple[int, ...] = (16, 16)
+    encoder_activation: str = "relu"
+    encoder_use_bias: bool = False
+    encoder_last_relu: bool = False
+
+    # Decoder architecture
+    decoder_layers: Tuple[int, ...] = ()
+    decoder_activation: str = "relu"
+    decoder_use_bias: bool = False
+
+    # LISTA settings (LISTAKM only, reference: model.py:159-167)
+    lista_num_loops: int = 10
+    lista_alpha: float = 0.1
+    lista_L: float = 1e3
+    lista_linear_encoder: bool = False
+
+    # Loss coefficients (reference: config.py:259-263)
+    res_coeff: float = 1.0
+    reconst_coeff: float = 0.02
+    pred_coeff: float = 0.0
+    sparsity_coeff: float = 1e-3
+
+    dt: float = 1.0
+
+    # ----------------------------------------------------------------- init
+
+    def init(self, key: jax.Array) -> Dict:
+        """Create the parameter pytree."""
+        if self.model_name in ("GenericKM", "SparseKM"):
+            ekey, dkey = jax.random.split(key)
+            return {
+                "encoder": mlp_init(
+                    ekey, self.observation_size, self.target_size,
+                    self.encoder_layers, self.encoder_use_bias,
+                ),
+                "decoder": mlp_init(
+                    dkey, self.target_size, self.observation_size,
+                    self.decoder_layers, self.decoder_use_bias,
+                ),
+                # Learnable Koopman matrix initialized to identity
+                # (reference: model.py:736).
+                "kmat": jnp.eye(self.target_size, dtype=jnp.float32),
+            }
+        elif self.model_name == "LISTAKM":
+            wkey, lkey = jax.random.split(key)
+            # Dictionary init randn * 0.01, stored [zdim, xdim] for y @ Wd
+            # (reference: model.py:818-820).
+            Wd_init = 0.01 * jax.random.normal(
+                wkey, (self.observation_size, self.target_size), dtype=jnp.float32
+            )
+            return {
+                "dict": Wd_init.T,
+                "lista": lista_init(
+                    lkey, self.observation_size, self.target_size, Wd_init,
+                    self.lista_L, self.lista_linear_encoder,
+                    self.encoder_layers, self.encoder_use_bias,
+                ),
+                "kmat": jnp.eye(self.target_size, dtype=jnp.float32),
+            }
+        raise ValueError(f"Unknown model '{self.model_name}'")
+
+    # ------------------------------------------------------------- core ops
+
+    def _apply_norm(self, z: jax.Array) -> jax.Array:
+        """Latent normalization (reference: model.py:740-754)."""
+        if self.norm_fn == "id":
+            return z
+        if self.norm_fn == "ball":
+            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        raise ValueError(f"Unknown norm function '{self.norm_fn}'")
+
+    def encode(self, params: Dict, x: jax.Array) -> jax.Array:
+        """[..., obs] -> [..., z] (reference: model.py:756-766, 828-837)."""
+        if self.model_name == "LISTAKM":
+            return lista_apply(
+                params["lista"], x,
+                num_loops=self.lista_num_loops,
+                alpha=self.lista_alpha,
+                L=self.lista_L,
+                activation=self.encoder_activation,
+                last_relu=self.encoder_last_relu,
+            )
+        z = mlp_apply(
+            params["encoder"], x,
+            activation=self.encoder_activation,
+            last_relu=self.encoder_last_relu,
+        )
+        return self._apply_norm(z)
+
+    def decode(self, params: Dict, z: jax.Array) -> jax.Array:
+        """[..., z] -> [..., obs] (reference: model.py:768-777, 839-850)."""
+        if self.model_name == "LISTAKM":
+            # Normalized dictionary atoms, clamped (reference: model.py:849).
+            wd = params["dict"]
+            norms = jnp.maximum(
+                jnp.linalg.norm(wd, axis=1, keepdims=True), 1e-4
+            )
+            return jnp.matmul(z, wd / norms, preferred_element_type=z.dtype)
+        return mlp_apply(
+            params["decoder"], z,
+            activation=self.decoder_activation,
+            last_relu=False,
+        )
+
+    def kmatrix(self, params: Dict) -> jax.Array:
+        """The learned Koopman matrix [z, z] (reference: model.py:779-785)."""
+        return params["kmat"]
+
+    def step_latent(self, params: Dict, z: jax.Array) -> jax.Array:
+        """z @ K, with norm_fn for GenericKM (reference: model.py:787-797;
+        LISTAKM uses the plain base step, reference: model.py:311-321)."""
+        nz = jnp.matmul(z, params["kmat"], preferred_element_type=z.dtype)
+        if self.model_name == "LISTAKM":
+            return nz
+        return self._apply_norm(nz)
+
+    def step_env(self, params: Dict, x: jax.Array) -> jax.Array:
+        """decode(step_latent(encode(x))) (reference: model.py:323-335)."""
+        return self.decode(params, self.step_latent(params, self.encode(params, x)))
+
+    # ----------------------------------------------------- losses & metrics
+
+    def residual(self, params: Dict, x: jax.Array, nx: jax.Array) -> jax.Array:
+        """||enc(x) K - enc(nx)|| per sample (reference: model.py:272-286).
+
+        Uses the raw kmat matmul (no norm_fn), matching the base-class
+        implementation the reference always calls here.
+        """
+        y = self.encode(params, x)
+        ny = self.encode(params, nx)
+        return jnp.linalg.norm(
+            jnp.matmul(y, params["kmat"], preferred_element_type=y.dtype) - ny, axis=-1
+        )
+
+    def reconstruction(self, params: Dict, x: jax.Array) -> jax.Array:
+        """decode(encode(x)) (reference: model.py:288-297)."""
+        return self.decode(params, self.encode(params, x))
+
+    def sparsity_loss(self, params: Dict, x: jax.Array) -> jax.Array:
+        """Mean L1 of latents; LISTAKM scales by alpha
+        (reference: model.py:299-309, 860-870)."""
+        z = self.encode(params, x)
+        l1 = jnp.mean(jnp.sum(jnp.abs(z), axis=-1))
+        if self.model_name == "LISTAKM":
+            return self.lista_alpha * l1
+        return l1
+
+    def loss(self, params: Dict, x: jax.Array, nx: jax.Array) -> Tuple[jax.Array, Dict]:
+        """Single-step loss + metrics (reference: model.py:459-525).
+
+        The eigenvalue metric is intentionally absent here (host-side via
+        :func:`spectral_metrics`).
+        """
+        kmat = params["kmat"]
+        zx = self.encode(params, x)
+        znx = self.encode(params, nx)
+
+        prediction = self.decode(
+            params, jnp.matmul(zx, kmat, preferred_element_type=zx.dtype)
+        )
+        prediction_loss = jnp.mean(jnp.linalg.norm(prediction - nx, axis=-1))
+
+        residual_loss = jnp.mean(
+            jnp.linalg.norm(
+                jnp.matmul(zx, kmat, preferred_element_type=zx.dtype) - znx, axis=-1
+            )
+        )
+
+        reconst_loss = jnp.mean(
+            jnp.linalg.norm(x - self.decode(params, zx), axis=-1)
+        ) + jnp.mean(jnp.linalg.norm(nx - self.decode(params, znx), axis=-1))
+
+        alpha = self.lista_alpha if self.model_name == "LISTAKM" else 1.0
+        sparsity_loss = 0.5 * alpha * (
+            jnp.mean(jnp.sum(jnp.abs(zx), axis=-1))
+            + jnp.mean(jnp.sum(jnp.abs(znx), axis=-1))
+        )
+
+        num_nonzero = jnp.mean(jnp.sum((zx != 0).astype(jnp.float32), axis=-1))
+        sparsity_ratio = 1.0 - num_nonzero / self.target_size
+
+        total = (
+            self.res_coeff * residual_loss
+            + self.reconst_coeff * reconst_loss
+            + self.pred_coeff * prediction_loss
+            + self.sparsity_coeff * sparsity_loss
+        )
+        metrics = {
+            "loss": total,
+            "residual_loss": residual_loss,
+            "reconst_loss": reconst_loss,
+            "prediction_loss": prediction_loss,
+            "sparsity_loss": sparsity_loss,
+            "sparsity_ratio": sparsity_ratio,
+        }
+        return total, metrics
+
+    def rollout_latent_discrete(
+        self, params: Dict, z0: jax.Array, num_steps: int
+    ) -> jax.Array:
+        """z_{t+k} = z_t K^k via lax.scan; returns [batch, num_steps+1, z]
+        (reference: model.py:527-556 — note: raw matmul, no norm_fn,
+        exactly like the reference training rollout)."""
+        kmat = params["kmat"]
+
+        def body(z, _):
+            nz = jnp.matmul(z, kmat, preferred_element_type=z.dtype)
+            return nz, nz
+
+        _, traj = jax.lax.scan(body, z0, None, length=num_steps)
+        # traj: [num_steps, batch, z] -> [batch, num_steps+1, z] incl. z0
+        return jnp.concatenate([z0[None], traj], axis=0).swapaxes(0, 1)
+
+    def rollout_sequence(self, params: Dict, x0: jax.Array, num_steps: int) -> jax.Array:
+        """Observation-space rollout [batch, num_steps+1, obs]
+        (reference: model.py:558-585)."""
+        z0 = self.encode(params, x0)
+        z_traj = self.rollout_latent_discrete(params, z0, num_steps)
+        return self.decode(params, z_traj)
+
+    def loss_sequence(
+        self, params: Dict, x_seq: jax.Array, dt: float = 1.0
+    ) -> Tuple[jax.Array, Dict]:
+        """Sequence loss with discrete Koopman rollout
+        (reference: model.py:587-693).
+
+        x_seq: [batch, seq_len, obs] containing x_t..x_{t+T}.
+        Loss terms (PDF Eqs. 32-36 per the reference docstring):
+          alignment  sum_t ||zhat_t - z_t||^2   (t = 1..T)
+          reconst    sum_t ||x_t - dec(z_t)||^2 (t = 0..T)
+          pred       sum_t ||x_t - dec(zhat_t)||^2 (t = 1..T)
+          sparsity   mean ||z||_1
+        """
+        z_seq = self.encode(params, x_seq)                 # [B, T+1, z]
+        z0 = z_seq[:, 0, :]
+        z_hat_seq = self.rollout_latent_discrete(params, z0, x_seq.shape[1] - 1)
+
+        x_tilde = self.decode(params, z_seq)               # [B, T+1, obs]
+        x_hat_seq = self.decode(params, z_hat_seq)
+
+        alignment_loss = jnp.mean(
+            jnp.sum(
+                jnp.sum((z_hat_seq[:, 1:, :] - z_seq[:, 1:, :]) ** 2, axis=-1),
+                axis=1,
+            )
+        )
+        reconst_loss = jnp.mean(
+            jnp.sum(jnp.sum((x_seq - x_tilde) ** 2, axis=-1), axis=1)
+        )
+        prediction_loss = jnp.mean(
+            jnp.sum(
+                jnp.sum((x_seq[:, 1:, :] - x_hat_seq[:, 1:, :]) ** 2, axis=-1),
+                axis=1,
+            )
+        )
+        sparsity_loss = jnp.mean(jnp.sum(jnp.abs(z_seq), axis=-1))
+
+        num_nonzero = jnp.mean(jnp.sum((z_seq != 0).astype(jnp.float32), axis=-1))
+        sparsity_ratio = 1.0 - num_nonzero / self.target_size
+
+        total = (
+            self.res_coeff * alignment_loss
+            + self.reconst_coeff * reconst_loss
+            + self.pred_coeff * prediction_loss
+            + self.sparsity_coeff * sparsity_loss
+        )
+        metrics = {
+            "loss": total,
+            "residual_loss": alignment_loss,  # named for parity (reference: model.py:685)
+            "reconst_loss": reconst_loss,
+            "prediction_loss": prediction_loss,
+            "sparsity_loss": sparsity_loss,
+            "sparsity_ratio": sparsity_ratio,
+        }
+        return total, metrics
+
+    # -------------------------------------------------- continuous-time ODE
+
+    def koopman_ode_func(self, params: Dict, z: jax.Array) -> jax.Array:
+        """dz/dt = z @ K (reference: model.py:337-349)."""
+        return jnp.matmul(z, params["kmat"], preferred_element_type=z.dtype)
+
+    def integrate_latent_ode(
+        self,
+        params: Dict,
+        z0: jax.Array,
+        t_span: jax.Array,
+        method: str = "dopri5",
+    ) -> jax.Array:
+        """Integrate latent dynamics over t_span; [num_times, batch, z]
+        (reference: model.py:351-422 — torchdiffeq dopri5 with manual RK4
+        fallback; here jax.experimental.ode.odeint (dopri5) or a fixed-step
+        RK4 scan)."""
+        if method == "dopri5":
+            from jax.experimental.ode import odeint
+
+            return odeint(
+                lambda z, t: self.koopman_ode_func(params, z),
+                z0, t_span, rtol=1e-5, atol=1e-7,
+            )
+        # Fixed-step RK4 over possibly non-uniform t_span.
+        dts = t_span[1:] - t_span[:-1]
+
+        def body(z, dt_i):
+            k1 = self.koopman_ode_func(params, z)
+            k2 = self.koopman_ode_func(params, z + 0.5 * dt_i * k1)
+            k3 = self.koopman_ode_func(params, z + 0.5 * dt_i * k2)
+            k4 = self.koopman_ode_func(params, z + dt_i * k3)
+            nz = z + (dt_i / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            return nz, nz
+
+        _, traj = jax.lax.scan(body, z0, dts)
+        return jnp.concatenate([z0[None], traj], axis=0)
+
+    def rollout_sequence_ode(
+        self, params: Dict, x0: jax.Array, num_steps: int, dt: float
+    ) -> jax.Array:
+        """ODE rollout decoded to observations [num_steps+1, batch, obs]
+        (reference: model.py:424-457)."""
+        z0 = self.encode(params, x0)
+        t_span = jnp.arange(num_steps + 1, dtype=jnp.float32) * dt
+        z_traj = self.integrate_latent_ode(params, z0, t_span)
+        return self.decode(params, z_traj)
+
+
+# ---------------------------------------------------------------------------
+# Host-side spectral metrics (reference computes these in-loop on CPU,
+# model.py:492-499 / 663-669; here they are an explicit host call)
+# ---------------------------------------------------------------------------
+
+
+def spectral_metrics(params: Dict) -> Dict[str, float]:
+    """Max real part and max modulus of the Koopman spectrum."""
+    import numpy as np
+
+    kmat = np.asarray(params["kmat"])
+    eig = np.linalg.eigvals(kmat)
+    return {
+        "A_max_eigenvalue_real": float(np.max(eig.real)),
+        "A_max_eigenvalue": float(np.max(np.abs(eig))),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Factory (reference: model.py:878-904)
+# ---------------------------------------------------------------------------
+
+_MODEL_REGISTRY = ("GenericKM", "SparseKM", "LISTAKM")
+
+
+def make_model(cfg: Config, observation_size: int) -> KoopmanModel:
+    """Build a KoopmanModel description from config."""
+    name = cfg.MODEL.MODEL_NAME
+    if name not in _MODEL_REGISTRY:
+        raise ValueError(f"Unknown model '{name}'. Available: {list(_MODEL_REGISTRY)}")
+    return KoopmanModel(
+        model_name=name,
+        observation_size=observation_size,
+        target_size=cfg.MODEL.TARGET_SIZE,
+        norm_fn=cfg.MODEL.NORM_FN,
+        encoder_layers=tuple(cfg.MODEL.ENCODER.LAYERS),
+        encoder_activation=cfg.MODEL.ENCODER.ACTIVATION,
+        encoder_use_bias=cfg.MODEL.ENCODER.USE_BIAS,
+        encoder_last_relu=cfg.MODEL.ENCODER.LAST_RELU,
+        decoder_layers=tuple(cfg.MODEL.DECODER.LAYERS),
+        decoder_activation=cfg.MODEL.DECODER.ACTIVATION,
+        decoder_use_bias=cfg.MODEL.DECODER.USE_BIAS,
+        lista_num_loops=cfg.MODEL.ENCODER.LISTA.NUM_LOOPS,
+        lista_alpha=cfg.MODEL.ENCODER.LISTA.ALPHA,
+        lista_L=cfg.MODEL.ENCODER.LISTA.L,
+        lista_linear_encoder=cfg.MODEL.ENCODER.LISTA.LINEAR_ENCODER,
+        res_coeff=cfg.MODEL.RES_COEFF,
+        reconst_coeff=cfg.MODEL.RECONST_COEFF,
+        pred_coeff=cfg.MODEL.PRED_COEFF,
+        sparsity_coeff=cfg.MODEL.SPARSITY_COEFF,
+    )

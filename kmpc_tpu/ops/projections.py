@@ -1,0 +1,98 @@
+"""Closed-form projections used by the batched first-order MPC solver.
+
+These replace the constraint handling that the reference delegates to the
+CVXPY -> ECOS/SCS interior-point stack (reference: mpc.py:83-100):
+
+  sum(w) = 1, w >= 0      -> Euclidean projection onto the probability simplex
+  ||u||_1 <= tau          -> Euclidean projection onto the L1 ball
+  soft-threshold          -> prox of the L1 transaction-cost term
+
+All functions are branch-free (sort + cumsum + where), operate on the
+trailing axis, broadcast over arbitrary leading batch axes, and are
+jit/vmap/grad-safe — so thousands of (date x scenario) problems project
+simultaneously on the VPU.
+
+Algorithms: Held-Wolfe-Crowder / Duchi et al. 2008 ("Efficient
+projections onto the l1-ball for learning in high dimensions").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def project_simplex(v: jax.Array, radius: float = 1.0) -> jax.Array:
+    """Project v (trailing axis) onto {w : w >= 0, sum(w) = radius}.
+
+    Sort-based O(n log n) algorithm; n is the asset count (20-500), the
+    sort runs on-chip over the trailing axis.
+    """
+    n = v.shape[-1]
+    u = jnp.sort(v, axis=-1)[..., ::-1]                       # descending
+    css = jnp.cumsum(u, axis=-1) - radius
+    ind = jnp.arange(1, n + 1, dtype=v.dtype)
+    cond = u - css / ind > 0                                  # [..., n]
+    # rho = max index with cond true (>= 1 always since radius > 0)
+    rho = jnp.sum(cond.astype(jnp.int32), axis=-1)            # [...,]
+    rho_safe = jnp.maximum(rho, 1)
+    theta = jnp.take_along_axis(css, (rho_safe - 1)[..., None], axis=-1) / rho_safe[
+        ..., None
+    ].astype(v.dtype)
+    return jnp.maximum(v - theta, 0.0)
+
+
+def soft_threshold(v: jax.Array, threshold) -> jax.Array:
+    """prox of t*||.||_1: sign(v) * max(|v| - t, 0)."""
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - threshold, 0.0)
+
+
+def project_l1_ball(v: jax.Array, radius: float) -> jax.Array:
+    """Project v (trailing axis) onto {u : ||u||_1 <= radius}.
+
+    Inside the ball: identity. Outside: soft-threshold with the theta that
+    projects |v| onto the simplex of the given radius (Duchi et al. 2008).
+    Handles radius == 0 (returns zeros) so tau=0 turnover configs degrade
+    gracefully.
+    """
+    if radius <= 0.0:
+        return jnp.zeros_like(v)
+    a = jnp.abs(v)
+    l1 = jnp.sum(a, axis=-1, keepdims=True)
+    inside = l1 <= radius
+
+    n = v.shape[-1]
+    u = jnp.sort(a, axis=-1)[..., ::-1]
+    css = jnp.cumsum(u, axis=-1) - radius
+    ind = jnp.arange(1, n + 1, dtype=v.dtype)
+    cond = u - css / ind > 0
+    rho = jnp.maximum(jnp.sum(cond.astype(jnp.int32), axis=-1), 1)
+    theta = jnp.take_along_axis(css, (rho - 1)[..., None], axis=-1) / rho[
+        ..., None
+    ].astype(v.dtype)
+    theta = jnp.maximum(theta, 0.0)
+    projected = jnp.sign(v) * jnp.maximum(a - theta, 0.0)
+    return jnp.where(inside, v, projected)
+
+
+def prox_l1_in_ball(v: jax.Array, shrink_t, radius: float) -> jax.Array:
+    """prox of  t*c*||u||_1 + indicator(||u||_1 <= radius).
+
+    For this separable-sign composite the prox is soft-threshold followed
+    by L1-ball projection (both operations preserve signs and ordering of
+    magnitudes, so the composition is exact — see e.g. Yu, "On the
+    decomposition of proximal maps", NeurIPS 2013).
+    """
+    return project_l1_ball(soft_threshold(v, shrink_t), radius)
+
+
+def project_box(v: jax.Array, lo: float, hi: float) -> jax.Array:
+    """Clip to [lo, hi] (used by allow_short variants)."""
+    return jnp.clip(v, lo, hi)
+
+
+def project_hyperplane_sum(v: jax.Array, total: float = 1.0) -> jax.Array:
+    """Project onto {w : sum(w) = total} (allow_short: no sign constraint)."""
+    n = v.shape[-1]
+    shift = (jnp.sum(v, axis=-1, keepdims=True) - total) / n
+    return v - shift

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Sharded code paths are exercised without TPU hardware by spoofing the
+host-platform device count (SURVEY.md §4: the new framework adds
+mesh-shape-parameterized tests the reference lacks).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Deterministic full-precision matmuls for numerical assertions; production
+# code keeps the backend default (fast bf16 passes on the TPU MXU).
+jax.config.update("jax_default_matmul_precision", "float32")
