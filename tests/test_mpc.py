@@ -1,0 +1,238 @@
+"""MPC solver tests.
+
+Behavioral oracle mirrors reference tests/test_mpc.py:6-55 (feasibility,
+preference shift, cost freeze), plus parity of the batched PDHG solver
+against the high-accuracy host oracle (SURVEY.md §7: behavioral parity
+oracle for the new batched solver).
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmpc_tpu.ops.mpc import (
+    MPCParams,
+    solve_mpc_log_utility,
+    solve_mpc_log_utility_batch,
+    solve_mpc_mean_variance,
+    solve_mpc_mean_variance_batch,
+)
+from kmpc_tpu.ops.mpc_oracle import (
+    solve_mpc_log_utility_oracle,
+    solve_mpc_mean_variance_oracle,
+)
+
+warnings.filterwarnings("ignore", message="delta_grad")
+
+H, N = 5, 20
+PARAMS = MPCParams(max_iters=20000, sigma_scale=2.0)
+
+
+def _ref_objective(w, y, cw, c=0.001):
+    r = np.exp(y)
+    port = (w * r).sum(-1)
+    u = np.diff(np.vstack([cw[None], w]), axis=0)
+    return np.sum(np.log(port)) - c * np.abs(u).sum()
+
+
+# ---------------------------------------------------------------------------
+# Behavioral tests (reference: test_mpc.py:6-55)
+# ---------------------------------------------------------------------------
+
+
+def test_feasibility_flat_returns():
+    """Flat returns: solution on the simplex, nonnegative
+    (reference: test_mpc.py:6-23)."""
+    cw = np.ones(N) / N
+    y = np.zeros((H, N))
+    w, info = solve_mpc_log_utility(cw, y, PARAMS)
+    assert w.shape == (H, N)
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert np.all(w >= -1e-6)
+    # Flat returns + transaction costs: best is to hold 1/N.
+    assert np.allclose(w, 1.0 / N, atol=1e-4)
+
+
+def test_preference_shifts_to_higher_return_asset():
+    """Asset with higher forecast return gains weight
+    (reference: test_mpc.py:25-39)."""
+    cw = np.ones(N) / N
+    y = np.zeros((H, N))
+    y[:, 3] = 0.02  # persistent winner
+    w, info = solve_mpc_log_utility(cw, y, PARAMS)
+    assert w[0, 3] > 1.0 / N + 1e-3
+    assert w[-1, 3] > w[0, 3] - 1e-6  # keeps accumulating under turnover cap
+
+
+def test_high_transaction_costs_freeze_weights():
+    """Very high costs: weights stay at current
+    (reference: test_mpc.py:41-55)."""
+    rng = np.random.default_rng(0)
+    cw = rng.dirichlet(np.ones(N))
+    y = rng.standard_normal((H, N)) * 0.01
+    p = MPCParams(max_iters=20000, sigma_scale=2.0, cost_coeff=1.0)
+    w, info = solve_mpc_log_utility(cw, y, p)
+    assert np.allclose(w, np.tile(cw, (H, 1)), atol=1e-3)
+
+
+def test_turnover_constraint_respected():
+    cw = np.ones(N) / N
+    y = np.zeros((H, N))
+    y[:, 0] = 0.5  # huge incentive to go all-in
+    w, info = solve_mpc_log_utility(cw, y, PARAMS)
+    u = np.diff(np.vstack([cw[None], w]), axis=0)
+    assert np.all(np.abs(u).sum(-1) <= PARAMS.max_turnover + 1e-4)
+
+
+def test_no_turnover_constraint_variant():
+    cw = np.ones(N) / N
+    y = np.zeros((H, N))
+    y[:, 0] = 0.5
+    p = MPCParams(max_iters=20000, sigma_scale=2.0, max_turnover=0.0)
+    w, info = solve_mpc_log_utility(cw, y, p)
+    # Without the cap the solver can move (almost) everything at once.
+    assert w[0, 0] > 0.9
+
+
+def test_allow_short_sums_to_one():
+    rng = np.random.default_rng(1)
+    cw = np.ones(N) / N
+    y = rng.standard_normal((H, N)) * 0.01
+    p = MPCParams(max_iters=10000, sigma_scale=2.0, allow_short=True)
+    w, info = solve_mpc_log_utility(cw, y, p)
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Parity vs high-accuracy oracle
+# ---------------------------------------------------------------------------
+
+
+def test_parity_log_utility_random_instances():
+    """Objective parity <=2e-5 on every instance; first-row weight parity
+    (the weights the backtest applies, reference: backtest.py:131)
+    <=1e-4 median. Weight-space parity is only meaningful modulo the
+    near-degeneracy of this LP-like program (log-utility with returns
+    ~1 is nearly linear), so tail cases are bounded in objective."""
+    rng = np.random.default_rng(0)
+    obj_gaps, w0_errs = [], []
+    for trial in range(6):
+        y = rng.standard_normal((H, N)) * 0.01 + 0.001
+        cw = rng.dirichlet(np.ones(N))
+        w_ref, info_ref = solve_mpc_log_utility_oracle(
+            cw, y, cost_coeff=0.001, max_turnover=0.2
+        )
+        w, info = solve_mpc_log_utility(cw, y, PARAMS)
+        gap = _ref_objective(w_ref, y, cw) - _ref_objective(w, y, cw)
+        obj_gaps.append(gap)
+        w0_errs.append(np.max(np.abs(w[0] - w_ref[0])))
+    assert max(obj_gaps) < 5e-5, obj_gaps
+    assert np.median(w0_errs) < 1e-4, w0_errs
+    assert max(w0_errs) < 0.1, w0_errs
+
+
+def test_parity_strong_signal():
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        y = rng.standard_normal((H, N)) * 0.005
+        y[:, trial] += 0.05
+        cw = rng.dirichlet(np.ones(N))
+        w_ref, _ = solve_mpc_log_utility_oracle(cw, y, cost_coeff=0.001, max_turnover=0.2)
+        w, _ = solve_mpc_log_utility(cw, y, PARAMS)
+        gap = _ref_objective(w_ref, y, cw) - _ref_objective(w, y, cw)
+        assert gap < 2e-5
+        # Weight parity is loose on instances with near-tied assets (mass
+        # can swap between equally-good columns at equal objective).
+        assert np.max(np.abs(w[0] - w_ref[0])) < 1e-2
+
+
+def test_batch_matches_single():
+    rng = np.random.default_rng(3)
+    B = 4
+    ys = rng.standard_normal((B, H, N)) * 0.01
+    cws = rng.dirichlet(np.ones(N), size=B)
+    wb, infob = solve_mpc_log_utility_batch(
+        jnp.asarray(cws, jnp.float32), jnp.asarray(ys, jnp.float32), PARAMS
+    )
+    for i in range(B):
+        wi, _ = solve_mpc_log_utility(cws[i], ys[i], PARAMS)
+        assert np.allclose(np.asarray(wb[i]), wi, atol=1e-5)
+
+
+def test_batch_leading_axes():
+    rng = np.random.default_rng(4)
+    ys = jnp.asarray(rng.standard_normal((2, 3, H, N)) * 0.01, jnp.float32)
+    cws = jnp.asarray(rng.dirichlet(np.ones(N), size=(2, 3)), jnp.float32)
+    w, info = solve_mpc_log_utility_batch(cws, ys, MPCParams(max_iters=500))
+    assert w.shape == (2, 3, H, N)
+    assert info["converged"].shape == (2, 3)
+    assert np.allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
+
+
+def test_warm_start_accelerates():
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.standard_normal((H, N)) * 0.01, jnp.float32)
+    cw = jnp.asarray(rng.dirichlet(np.ones(N)), jnp.float32)
+    w_full, info_full = solve_mpc_log_utility_batch(cw, y, PARAMS)
+    # Short re-solve warm-started at the solution stays at the solution.
+    p_short = MPCParams(max_iters=100, sigma_scale=2.0)
+    w_warm, info = solve_mpc_log_utility_batch(
+        cw, y, p_short, w_warm=w_full, p_warm=info_full["dual"]
+    )
+    assert np.max(np.abs(np.asarray(w_warm) - np.asarray(w_full))) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Mean-variance
+# ---------------------------------------------------------------------------
+
+
+def _mv_instance(seed=0, n=10):
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal((1, n)) * 0.001
+    A = rng.standard_normal((n, n)) * 0.01
+    Sigma = A @ A.T + 1e-6 * np.eye(n)
+    cw = rng.dirichlet(np.ones(n))
+    return cw, mu, Sigma
+
+
+def test_mean_variance_feasibility():
+    cw, mu, Sigma = _mv_instance(0)
+    p = MPCParams(max_iters=20000, gamma=1.0)
+    w, info = solve_mpc_mean_variance(cw, mu, Sigma, p)
+    assert w.shape == mu.shape
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert np.all(w >= -1e-6)
+
+
+def test_mean_variance_parity():
+    for seed in range(3):
+        cw, mu, Sigma = _mv_instance(seed)
+        w_ref, _ = solve_mpc_mean_variance_oracle(
+            cw, mu, Sigma, gamma=1.0, cost_coeff=0.001
+        )
+        p = MPCParams(max_iters=40000, gamma=1.0)
+        w, _ = solve_mpc_mean_variance(cw, mu, Sigma, p)
+
+        def obj(wm):
+            quad = np.einsum("tn,nm,tm->", wm, Sigma, wm)
+            lin = np.einsum("tn,tn->", wm, mu)
+            u = np.diff(np.vstack([cw[None], wm]), axis=0)
+            return lin - quad - 0.001 * np.abs(u).sum()
+
+        assert obj(w_ref) - obj(w) < 2e-5
+        assert np.max(np.abs(w - w_ref)) < 5e-3
+
+
+def test_mean_variance_risk_aversion_diversifies():
+    """Higher gamma spreads weight (variance penalty dominates)."""
+    cw, mu, Sigma = _mv_instance(2)
+    mu = np.abs(mu)  # make one clear winner
+    p_low = MPCParams(max_iters=20000, gamma=0.01)
+    p_high = MPCParams(max_iters=20000, gamma=100.0)
+    w_low, _ = solve_mpc_mean_variance(cw, mu, Sigma, p_low)
+    w_high, _ = solve_mpc_mean_variance(cw, mu, Sigma, p_high)
+    assert np.max(w_high) < np.max(w_low) + 1e-6
