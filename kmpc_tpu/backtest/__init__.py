@@ -1,0 +1,21 @@
+"""Backtest engine, strategies, and baselines."""
+
+from kmpc_tpu.backtest.engine import (
+    BuyAndHoldStrategy,
+    DMDStrategy,
+    KoopmanMPCStrategy,
+    MarkowitzStrategy,
+    calculate_metrics,
+    run_backtest,
+    run_backtest_parallel,
+)
+
+__all__ = [
+    "BuyAndHoldStrategy",
+    "DMDStrategy",
+    "KoopmanMPCStrategy",
+    "MarkowitzStrategy",
+    "calculate_metrics",
+    "run_backtest",
+    "run_backtest_parallel",
+]

@@ -68,6 +68,9 @@ class MPCParams:
     sigma_scale: float = 1.0
     feas_tol: float = 1e-5
     over_relax: float = 1.0   # rho in (0, 2); 1 = plain PDHG
+    ridge: float = 0.0        # eps/2 ||w||^2 tie-breaker: makes the optimum
+                              # unique on the near-flat faces of this LP-like
+                              # objective (solution selection, not accuracy)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +137,7 @@ def solve_mpc_log_utility_batch(
     r_norm2 = jnp.sum(r * r, axis=-1)                    # [..., H]
     r_min = jnp.min(r, axis=-1)                          # [..., H]
     L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)  # [...]
-    L = L[..., None, None]
+    L = L[..., None, None] + params.ridge
 
     # ||D||^2 <= 4 for the forward-difference operator.
     d_norm2 = 4.0
@@ -171,7 +174,7 @@ def solve_mpc_log_utility_batch(
     def body(carry, _):
         w, p = carry
         port = jnp.sum(w * r, axis=-1, keepdims=True)
-        grad = -r / jnp.maximum(port, 1e-12)
+        grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
         w_new = proj_primal(w - tau_p * (grad + _apply_Dt(p)))
         w_bar = 2.0 * w_new - w
         p_new = prox_phi_conj(p + sigma * _apply_D(w_bar, w_init), sigma)
@@ -184,7 +187,7 @@ def solve_mpc_log_utility_batch(
 
     # One extra primal step to measure the fixed-point residual.
     port = jnp.sum(w * r, axis=-1, keepdims=True)
-    grad = -r / jnp.maximum(port, 1e-12)
+    grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
     w_last = proj_primal(w - tau_p * (grad + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
 

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's TPU plugin (axon) force-selects itself via
+# jax.config at interpreter startup, overriding JAX_PLATFORMS from the
+# env. Re-pin to CPU here — conftest runs before any backend is
+# initialized, so the virtual 8-device CPU platform takes effect.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)
 # Deterministic full-precision matmuls for numerical assertions; production
 # code keeps the backend default (fast bf16 passes on the TPU MXU).

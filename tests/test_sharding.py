@@ -1,0 +1,180 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed execution; these tests cover the new
+SPMD layer: mesh construction, tensor-parallel param placement,
+data-parallel training-step equivalence vs single-device, and the
+scenario-sharded MPC solver (SURVEY.md §4 "multi-node" guidance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from kmpc_tpu.config import get_config
+from kmpc_tpu.models import make_model
+from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+from kmpc_tpu.parallel.mesh import (
+    make_mesh,
+    mesh_from_config,
+    param_specs,
+    shard_batch,
+    shard_params,
+    sharded_mpc_solver,
+)
+from kmpc_tpu.train.loop import init_train_state, make_train_step
+
+requires_8 = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _cfg(z=64):
+    cfg = get_config("finance_sparse")
+    cfg.MODEL.TARGET_SIZE = z
+    cfg.MODEL.ENCODER.LAYERS = [64]
+    cfg.TRAIN.BATCH_SIZE = 16
+    cfg.TRAIN.SEQUENCE_LENGTH = 4
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Mesh construction
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 2, "scenario": 2, "model": 2})
+    assert mesh.shape == {"data": 2, "scenario": 2, "model": 2}
+    mesh = make_mesh({"data": -1})
+    assert mesh.shape["data"] == jax.device_count()
+
+
+@requires_8
+def test_make_mesh_wildcard():
+    mesh = make_mesh({"data": 2, "scenario": -1})
+    assert mesh.shape["scenario"] == jax.device_count() // 2
+
+
+def test_make_mesh_bad_shape_raises():
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "scenario": 5, "model": 7})
+
+
+@requires_8
+def test_mesh_from_config():
+    cfg = _cfg()
+    cfg.PARALLEL.DATA = 4
+    cfg.PARALLEL.SCENARIO = 2
+    cfg.PARALLEL.MODEL = 1
+    mesh = mesh_from_config(cfg)
+    assert mesh.shape == {"data": 4, "scenario": 2, "model": 1}
+
+
+# ---------------------------------------------------------------------------
+# Param sharding
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_param_specs_tensor_parallel():
+    cfg = _cfg()
+    model = make_model(cfg, 40)
+    params = model.init(jax.random.PRNGKey(0))
+    specs = param_specs(model, params)
+    assert specs["kmat"] == P(None, "model")
+    # Final encoder layer sharded on output (latent) dim.
+    assert specs["encoder"][-1]["w"] == P(None, "model")
+    # First decoder layer sharded on input (latent) dim.
+    assert specs["decoder"][0]["w"] == P("model", None)
+
+
+@requires_8
+def test_shard_params_places_on_mesh():
+    mesh = make_mesh({"data": 2, "scenario": 2, "model": 2})
+    cfg = _cfg(z=64)
+    model = make_model(cfg, 40)
+    params = model.init(jax.random.PRNGKey(0))
+    sharded = shard_params(params, model, mesh)
+    sh = sharded["kmat"].sharding
+    assert sh.spec == P(None, "model")
+    # Values unchanged by placement.
+    assert np.allclose(np.asarray(sharded["kmat"]), np.asarray(params["kmat"]))
+
+
+@requires_8
+def test_shard_params_indivisible_falls_back_to_replication():
+    mesh = make_mesh({"data": 1, "scenario": 1, "model": -1})
+    cfg = _cfg(z=30)  # 30 not divisible by 8
+    model = make_model(cfg, 40)
+    params = model.init(jax.random.PRNGKey(0))
+    sharded = shard_params(params, model, mesh)
+    assert sharded["kmat"].sharding.spec == P()
+
+
+# ---------------------------------------------------------------------------
+# Sharded training step == single-device step
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_sharded_train_step_matches_single_device():
+    cfg = _cfg(z=64)
+    obs = 40
+    model = make_model(cfg, obs)
+
+    state_a = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    state_b = init_train_state(cfg, model, jax.random.PRNGKey(0))
+
+    step = make_train_step(cfg, model, dt=1.0)
+    x_seq = jax.random.normal(
+        jax.random.PRNGKey(1), (16, cfg.TRAIN.SEQUENCE_LENGTH + 1, obs)
+    )
+
+    # Single device (replicated) run.
+    state_a, metrics_a = step(state_a, x_seq)
+
+    # DP+TP sharded run.
+    mesh = make_mesh({"data": 2, "scenario": 2, "model": 2})
+    state_b["params"] = shard_params(state_b["params"], model, mesh)
+    xb = shard_batch(x_seq, mesh, ("data", "scenario"))
+    state_b, metrics_b = step(state_b, xb)
+
+    assert np.allclose(float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-4)
+    ka = np.asarray(state_a["params"]["kmat"])
+    kb = np.asarray(state_b["params"]["kmat"])
+    assert np.allclose(ka, kb, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Scenario-sharded MPC
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_sharded_mpc_matches_unsharded():
+    mesh = make_mesh({"data": 2, "scenario": 4, "model": 1})
+    params = MPCParams(max_iters=300)
+    rng = np.random.default_rng(0)
+    B, H, N = 32, 5, 12
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+
+    w_ref, _ = solve_mpc_log_utility_batch(cw, ys, params)
+    solve = sharded_mpc_solver(mesh, params)
+    w_sh, info = solve(cw, ys)
+    assert np.allclose(np.asarray(w_ref), np.asarray(w_sh), atol=1e-5)
+
+
+@requires_8
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must pass on the virtual mesh."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
