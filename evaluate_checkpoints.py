@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Standalone checkpoint evaluation CLI (reference: evaluate_checkpoints.py).
+
+Loads one or more checkpoints from a run directory and runs the
+standardized evaluation protocol on the requested system(s).
+
+Usage:
+    python evaluate_checkpoints.py --run_dir runs/kae/<ts> --system duffing
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run_dir", type=str, required=True)
+    parser.add_argument("--system", type=str, default=None,
+                        help="system to evaluate (default: the run's ENV_NAME)")
+    parser.add_argument("--checkpoints", type=str, nargs="*",
+                        default=["checkpoint", "last"],
+                        help="checkpoint subdirectories to evaluate")
+    parser.add_argument("--horizons", type=int, nargs="*", default=[100, 1000])
+    parser.add_argument("--batch_size", type=int, default=100)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from kmpc_tpu.config import Config
+    from kmpc_tpu.data.systems import make_system
+    from kmpc_tpu.eval.evaluation import EvaluationSettings, evaluate_model
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.train.loop import init_train_state
+    from kmpc_tpu.utils.checkpoint import load_checkpoint
+
+    run_dir = Path(args.run_dir)
+    cfg = Config.from_json(str(run_dir / "config.json"))
+    system_name = args.system or cfg.ENV.ENV_NAME
+    system = make_system(cfg, system_name)
+    model = make_model(cfg, system.observation_size)
+
+    settings = EvaluationSettings(
+        systems=(system_name,),
+        horizons=tuple(args.horizons),
+        batch_size=args.batch_size,
+    )
+
+    summary = {}
+    for name in args.checkpoints:
+        ckpt_dir = run_dir / name
+        if not (ckpt_dir / "arrays.npz").exists():
+            print(f"Skipping {name}: not found at {ckpt_dir}")
+            continue
+        state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
+        state, meta = load_checkpoint(ckpt_dir, state)
+        print(f"Evaluating '{name}' (step {meta['step']}) on {system_name}...")
+        out_dir = run_dir / f"evaluation_{name}"
+        results = evaluate_model(
+            model, state["params"], cfg, settings, output_dir=out_dir
+        )
+        results_file = run_dir / f"evaluation_results_{name}.json"
+        with open(results_file, "w") as f:
+            json.dump(results, f, indent=2)
+        summary[name] = {
+            "step": meta["step"],
+            "results_file": str(results_file),
+        }
+        sys_res = results.get(system_name, {})
+        for horizon in args.horizons:
+            hk = str(horizon)
+            modes = sys_res.get("modes", {})
+            nr = modes.get("no_reencode", {}).get("horizons", {}).get(hk)
+            es = modes.get("every_step", {}).get("horizons", {}).get(hk)
+            if nr and es:
+                print(f"  H={horizon}: no-reencode={nr['mean']:.4e} "
+                      f"every-step={es['mean']:.4e}")
+
+    with open(run_dir / "evaluation_summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"Summary written to {run_dir / 'evaluation_summary.json'}")
+
+
+if __name__ == "__main__":
+    main()

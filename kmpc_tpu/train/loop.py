@@ -359,6 +359,14 @@ def train_finance(
     with open(run_dir / "evaluation_results.json", "w") as f:
         json.dump(eval_summary, f, indent=2)
 
+    # Finance evaluation plots (best-effort, reference: train.py:558-564).
+    try:
+        from kmpc_tpu.eval.finance_plots import save_finance_plots
+
+        save_finance_plots(final_eval, fd, run_dir)
+    except Exception as e:  # pragma: no cover - plotting best-effort
+        print(f"Warning: failed to generate finance plots: {e}")
+
     logger.close()
     return state, model, run_dir
 

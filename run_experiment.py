@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Full backtest experiment: Koopman-MPC vs Buy&Hold / Markowitz / DMD.
+
+TPU-native rebuild of the reference experiment CLI
+(reference: run_experiment.py:33-174): auto-discovers the latest run,
+loads its checkpoint, runs all four strategies over the test split, and
+writes the comparison table + equity-curve plot.
+
+Usage:
+    python run_experiment.py [--path runs/kae_finance/<ts>] [--parallel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def find_latest_run(base: Path) -> Path:
+    """Latest timestamped run dir containing a checkpoint
+    (reference: run_experiment.py:42-65)."""
+    candidates = []
+    for d in sorted(base.glob("*/")):
+        if (d / "checkpoint" / "arrays.npz").exists() or (d / "last" / "arrays.npz").exists():
+            candidates.append(d)
+    if not candidates:
+        raise FileNotFoundError(f"No run with checkpoints under {base}")
+    return candidates[-1]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--path", type=str, default=None,
+                        help="run directory (default: latest under runs/kae_finance)")
+    parser.add_argument("--horizon", type=int, default=5)
+    parser.add_argument("--cost_coeff", type=float, default=0.001)
+    parser.add_argument("--max_turnover", type=float, default=0.2)
+    parser.add_argument("--risk_aversion", type=float, default=1.0)
+    parser.add_argument("--mpc_iters", type=int, default=2000)
+    parser.add_argument("--parallel", action="store_true",
+                        help="use the Jacobi parallel backtest path")
+    parser.add_argument("--sweeps", type=int, default=0,
+                        help="parallel-path sweeps (0 = number of dates, exact)")
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from kmpc_tpu.config import BacktestConfig, Config
+    from kmpc_tpu.backtest.engine import (
+        BuyAndHoldStrategy,
+        DMDStrategy,
+        KoopmanMPCStrategy,
+        MarkowitzStrategy,
+        calculate_metrics,
+        run_backtest,
+        run_backtest_parallel,
+    )
+    from kmpc_tpu.data.finance import load_finance_data
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.train.loop import init_train_state
+    from kmpc_tpu.utils.checkpoint import load_checkpoint
+
+    run_dir = Path(args.path) if args.path else find_latest_run(Path("runs/kae_finance"))
+    ckpt_dir = run_dir / "checkpoint"
+    if not (ckpt_dir / "arrays.npz").exists():
+        ckpt_dir = run_dir / "last"
+    print(f"Loading checkpoint from {ckpt_dir}")
+
+    cfg = Config.from_json(str(run_dir / "config.json"))
+    fd = load_finance_data(cfg)
+    model = make_model(cfg, fd.observation_size)
+    state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
+    state, meta = load_checkpoint(ckpt_dir, state)
+    params = state["params"]
+    print(f"Loaded model at step {meta['step']}")
+
+    bt_cfg = BacktestConfig(
+        HORIZON=args.horizon,
+        COST_COEFF=args.cost_coeff,
+    )
+    mpc = MPCParams(
+        horizon=args.horizon,
+        cost_coeff=args.cost_coeff,
+        max_turnover=args.max_turnover,
+        max_iters=args.mpc_iters,
+        sigma_scale=2.0,
+    )
+    mv_mpc = MPCParams(
+        horizon=1, gamma=args.risk_aversion, cost_coeff=args.cost_coeff,
+        max_iters=args.mpc_iters,
+    )
+
+    strategies = {
+        "BuyAndHold": BuyAndHoldStrategy(),
+        "Markowitz": MarkowitzStrategy(mpc=mv_mpc),
+        "DMD": DMDStrategy(mpc=mpc),
+        "KoopmanMPC": KoopmanMPCStrategy(model=model, params=params, mpc=mpc),
+    }
+
+    out_dir = Path(args.output) if args.output else run_dir
+    results, curves = {}, {}
+    n_dates = fd.test.shape[0] - bt_cfg.HORIZON
+    sweeps = args.sweeps if args.sweeps > 0 else n_dates
+    for name, strat in strategies.items():
+        print(f"Backtesting {name}...")
+        if args.parallel:
+            df = run_backtest_parallel(strat, fd, bt_cfg, num_sweeps=sweeps)
+        else:
+            df = run_backtest(strat, fd, bt_cfg)
+        results[name] = calculate_metrics(df)
+        curves[name] = df
+
+    table = pd.DataFrame(results).T
+    print("\n" + table.to_string())
+    table.to_csv(out_dir / "full_comparison_metrics.csv")
+
+    # Equity-curve comparison plot (reference: run_experiment.py:139-171).
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(11, 6))
+    for name, df in curves.items():
+        ax.plot(df["date"], df["portfolio_value"], label=name, lw=1.4)
+    ax.set_ylabel("portfolio value")
+    ax.set_title("Equity curves: Koopman-MPC vs baselines")
+    ax.legend()
+    fig.autofmt_xdate()
+    fig.tight_layout()
+    fig.savefig(out_dir / "equity_curves.png", dpi=150)
+    plt.close(fig)
+
+    with open(out_dir / "experiment_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nResults saved to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""CLI + sweep + finance-plot tests: drive the user-facing scripts
+end-to-end on tiny workloads (the reference has no CLI tests; these cover
+C21-C24 of SURVEY.md §2)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(args, timeout=600):
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    import os
+
+    full_env = dict(os.environ)
+    full_env.update(env)
+    return subprocess.run(
+        [sys.executable, *args], cwd=REPO, capture_output=True, text=True,
+        timeout=timeout, env=full_env,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """A tiny completed training run shared by the CLI tests."""
+    log_dir = tmp_path_factory.mktemp("runs")
+    res = _run([
+        "train.py", "--cpu", "--config", "generic", "--env", "duffing",
+        "--num_steps", "6", "--batch_size", "8", "--target_size", "8",
+        "--log_dir", str(log_dir),
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    runs = sorted(log_dir.glob("*/"))
+    assert runs, res.stdout
+    return runs[-1]
+
+
+def test_train_cli(trained_run):
+    assert (trained_run / "config.json").exists()
+    assert (trained_run / "last" / "arrays.npz").exists()
+    assert (trained_run / "metrics_history.jsonl").exists()
+
+
+def test_plot_training_metrics_cli(trained_run):
+    res = _run([
+        "plot_training_metrics.py", "--log_dir", str(trained_run), "--summary",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert (trained_run / "training_metrics.png").exists()
+    assert "train/loss" in res.stdout
+
+
+def test_evaluate_checkpoints_cli(trained_run):
+    res = _run([
+        "evaluate_checkpoints.py", "--cpu", "--run_dir", str(trained_run),
+        "--horizons", "10", "--batch_size", "8", "--checkpoints", "last",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    results_file = trained_run / "evaluation_results_last.json"
+    assert results_file.exists()
+    with open(results_file) as f:
+        results = json.load(f)
+    assert "duffing" in results
+    assert (trained_run / "evaluation_summary.json").exists()
+
+
+def test_sweep_sparsity_vmapped(tmp_path):
+    """The vmapped sweep trains several coefficients at once."""
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.train.sweep import run_sparsity_sweep
+
+    cfg = get_config("generic_sparse")
+    cfg.ENV.ENV_NAME = "duffing"
+    cfg.MODEL.TARGET_SIZE = 8
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    cfg.TRAIN.NUM_STEPS = 5
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.LOG_INTERVAL = 2
+
+    coeffs = [0.0, 0.01, 0.5]
+    results, run_dir = run_sparsity_sweep(
+        cfg, coeffs, log_dir=str(tmp_path), eval_horizon=10, eval_batch=8,
+        verbose=False,
+    )
+    assert results["coefficients"] == coeffs
+    assert len(results["no_reencode_mse"]) == 3
+    assert all(np.isfinite(results["no_reencode_mse"]))
+    assert (run_dir / "sparsity_sweep_results.json").exists()
+    assert (run_dir / "sparsity_sweep.png").exists()
+
+
+def test_sweep_coefficients_actually_differ(tmp_path):
+    """Different coefficients must produce different trained params."""
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.data.systems import make_system, system_dt
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.train.sweep import make_sweep_train_step, stack_states
+    import jax.numpy as jnp
+
+    cfg = get_config("generic_sparse")
+    cfg.ENV.ENV_NAME = "duffing"
+    cfg.MODEL.TARGET_SIZE = 8
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.LR = 1e-2
+    cfg.TRAIN.USE_SEQUENCE_LOSS = True
+
+    system = make_system(cfg)
+    model = make_model(cfg, system.observation_size)
+    states = stack_states(cfg, model, jax.random.PRNGKey(0), 2)
+    step_fn = make_sweep_train_step(cfg, model, system_dt(cfg))
+    coeffs = jnp.asarray([0.0, 1.0])
+    for i in range(5):
+        batch = system.sequence_batch(
+            jax.random.fold_in(jax.random.PRNGKey(1), i), 8,
+            cfg.TRAIN.SEQUENCE_LENGTH,
+        )
+        states, metrics = step_fn(states, batch, coeffs)
+    w0 = np.asarray(states["params"]["encoder"][0]["w"][0])
+    w1 = np.asarray(states["params"]["encoder"][0]["w"][1])
+    assert not np.allclose(w0, w1)
+
+
+def test_finance_plots(tmp_path):
+    from kmpc_tpu.config import get_config, FinanceConfig
+    from kmpc_tpu.data.finance import load_finance_data
+    from kmpc_tpu.eval.finance_plots import save_finance_plots
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.train.loop import evaluate_finance
+
+    cfg = get_config("finance_sparse")
+    cfg.MODEL.TARGET_SIZE = 8
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    cfg.ENV.FINANCE = FinanceConfig(
+        TICKERS=["T1", "T2", "T3"], START_DATE="2018-01-01",
+        END_DATE="2021-12-31", TRAIN_END="2019-12-31", VAL_END="2020-12-31",
+        EMBEDDING_DIM=3, CACHE_DIR=None, SYNTHETIC=True,
+    )
+    fd = load_finance_data(cfg)
+    model = make_model(cfg, fd.observation_size)
+    params = model.init(jax.random.PRNGKey(0))
+    init, future = fd.get_test_sequences(num_sequences=6, max_length=15)
+    res = evaluate_finance(model, params, init, future, max_horizon=10,
+                           periodic_reencode_periods=[5])
+    files = save_finance_plots(res, fd, tmp_path)
+    assert set(files.keys()) == {
+        "forecast_mse_vs_horizon", "predicted_vs_actual_returns",
+        "prediction_correlation", "mode_mse_comparison",
+    }
+    for path in files.values():
+        assert Path(path).exists()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Training CLI (reference: train.py:1082-1191).
+
+Usage:
+    python train.py --config generic_sparse --env duffing --num_steps 20000
+    python train.py --config finance_sparse
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Koopman Autoencoder (TPU-native)")
+    parser.add_argument(
+        "--config", type=str, default="generic",
+        choices=["default", "generic", "generic_sparse", "generic_prediction",
+                 "lista", "lista_nonlinear", "finance_sparse"],
+    )
+    parser.add_argument(
+        "--env", type=str, default="duffing",
+        choices=["duffing", "pendulum", "lotka_volterra", "lorenz63",
+                 "parabolic", "lyapunov", "finance"],
+    )
+    parser.add_argument("--num_steps", type=int, default=20000)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--target_size", type=int, default=None)
+    parser.add_argument("--sparsity_coeff", type=float, default=None)
+    parser.add_argument("--reconst_coeff", type=float, default=None)
+    parser.add_argument("--pred_coeff", type=float, default=None)
+    parser.add_argument("--lista_alpha", type=float, default=None)
+    parser.add_argument("--pairwise", action="store_true",
+                        help="single-step loss instead of sequence loss")
+    parser.add_argument("--sequence_length", type=int, default=None)
+    parser.add_argument("--log_dir", type=str, default="./runs/kae")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint directory to resume from")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (e.g. for smoke tests)")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.train.loop import train
+
+    cfg = get_config(args.config)
+
+    # finance_sparse keeps its own ENV_NAME (reference: train.py:1144-1149).
+    if args.config != "finance_sparse":
+        cfg.ENV.ENV_NAME = args.env
+
+    cfg.TRAIN.NUM_STEPS = args.num_steps
+    cfg.TRAIN.BATCH_SIZE = args.batch_size
+    cfg.SEED = args.seed
+    if args.lr is not None:
+        cfg.TRAIN.LR = args.lr
+    if args.target_size is not None:
+        cfg.MODEL.TARGET_SIZE = args.target_size
+    if args.sparsity_coeff is not None:
+        cfg.MODEL.SPARSITY_COEFF = args.sparsity_coeff
+    if args.reconst_coeff is not None:
+        cfg.MODEL.RECONST_COEFF = args.reconst_coeff
+    if args.pred_coeff is not None:
+        cfg.MODEL.PRED_COEFF = args.pred_coeff
+    if args.lista_alpha is not None:
+        cfg.MODEL.ENCODER.LISTA.ALPHA = args.lista_alpha
+    if args.pairwise:
+        cfg.TRAIN.USE_SEQUENCE_LOSS = False
+    if args.sequence_length is not None:
+        cfg.TRAIN.SEQUENCE_LENGTH = args.sequence_length
+
+    state, model, run_dir = train(cfg, log_dir=args.log_dir, checkpoint_path=args.checkpoint)
+    print(f"Log directory: {run_dir}")
+
+
+if __name__ == "__main__":
+    main()
