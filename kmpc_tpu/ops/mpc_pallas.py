@@ -1,0 +1,188 @@
+"""Pallas-fused PDHG log-utility MPC solver.
+
+One `pallas_call` runs the ENTIRE solve: the grid tiles the problem
+batch, each program pulls its [TB, H, 128] chunk into VMEM once and runs
+all PDHG iterations (including the Michelot projection loops) on
+VMEM-resident values — zero HBM traffic between iterations. Numerics are
+identical to ops/mpc.py's XLA-scan solver (same iteration, same
+projections).
+
+Layout: assets are padded to the 128-lane dimension; the horizon rides
+the sublane dimension. Padded lanes carry r = 0 / w = 0 and are excluded
+from projections via an additive -inf mask, so they can never enter an
+active set.
+
+Performance status (v5e, measured): the XLA-scan solver is currently
+FASTER (158 ms vs 1.32 s for 1000 iters x 8192 problems). Grid programs
+execute serially per TensorCore, so each VPU pass here covers only
+[TB, 5, 128] elements versus XLA's whole-batch [B, 5, 32] passes —
+per-op parallelism, not memory traffic, is the binding constraint at
+these sizes (the XLA loop body already stays fused in VMEM). The known
+fix is lane-packing 4 problems x 32 assets per 128-lane row (quadruples
+VPU utilization and removes the padding waste); until that lands, use
+``solve_mpc_log_utility_batch`` — it exceeds the 10k solves/s/chip
+target by ~5x on its own.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kmpc_tpu.ops.mpc import MPCParams, _log_utility_objective
+
+_LANE = 128
+_NEG = -1e30
+
+
+def _masked_simplex_threshold(v, neg_mask, radius, num_iters=12):
+    """Michelot threshold over the lane axis with padded lanes disabled.
+
+    v: [..., LANE]; neg_mask: 0 for valid lanes, -inf for padded.
+    Matches ops/projections.py:_simplex_threshold.
+    """
+    vm = v + neg_mask                                     # padded -> -inf
+    valid = (neg_mask == 0.0).astype(v.dtype)
+    n = jnp.sum(valid, axis=-1, keepdims=True)
+    v0 = jnp.where(neg_mask == 0.0, v, 0.0)
+    theta = (jnp.sum(v0, axis=-1, keepdims=True) - radius) / n
+
+    def body(_, theta):
+        active = vm > theta
+        count = jnp.sum(active.astype(v.dtype), axis=-1, keepdims=True)
+        s = jnp.sum(jnp.where(active, v, 0.0), axis=-1, keepdims=True)
+        return (s - radius) / jnp.maximum(count, 1.0)
+
+    return jax.lax.fori_loop(0, num_iters, body, theta)
+
+
+def _make_kernel(params: MPCParams, H: int):
+    c = params.cost_coeff
+    tau_to = params.max_turnover
+    use_ball = tau_to > 0
+    ridge = params.ridge
+
+    def kernel(cw_ref, r_ref, negmask_ref, out_ref):
+        r = r_ref[:]                                       # [TB, H, LANE]
+        w_init = cw_ref[:]                                 # [TB, LANE]
+        neg_mask = negmask_ref[:]                          # [1, LANE]
+        nm3 = neg_mask[None, :, :]                         # [1, 1, LANE]
+
+        valid = (neg_mask == 0.0).astype(r.dtype)          # [1, LANE]
+
+        # Per-problem Lipschitz bound (padded lanes carry r = 0).
+        r_norm2 = jnp.sum(r * r, axis=-1)                  # [TB, H]
+        r_big = jnp.where(nm3 == 0.0, r, jnp.inf)
+        r_min = jnp.min(r_big, axis=-1)                    # [TB, H]
+        L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)
+        L = L[:, None, None] + ridge
+        sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+
+        def proj_simplex(v):
+            theta = _masked_simplex_threshold(v, nm3, 1.0)
+            return jnp.maximum(v + nm3 - theta, 0.0)
+
+        def apply_D(w):
+            prev = jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
+            return w - prev
+
+        def apply_Dt(p):
+            nxt = jnp.concatenate(
+                [p[:, 1:, :], jnp.zeros_like(p[:, :1, :])], axis=1
+            )
+            return p - nxt
+
+        def prox_phi_conj(q, sig):
+            v = q / sig
+            inner = jnp.sign(v) * jnp.maximum(jnp.abs(v) - c / sig, 0.0)
+            if use_ball:
+                a = jnp.abs(inner)
+                l1 = jnp.sum(jnp.where(nm3 == 0.0, a, 0.0), axis=-1, keepdims=True)
+                theta = jnp.maximum(
+                    _masked_simplex_threshold(a, nm3, tau_to), 0.0
+                )
+                proj = jnp.sign(inner) * jnp.maximum(a - theta, 0.0)
+                inner = jnp.where(l1 <= tau_to, inner, proj)
+            return q - sig * inner
+
+        w0 = jnp.broadcast_to(
+            proj_simplex(jnp.broadcast_to(w_init[:, None, :], r.shape)), r.shape
+        )
+        p0 = jnp.zeros_like(w0)
+
+        def body(_, carry):
+            w, p = carry
+            port = jnp.sum(w * r, axis=-1, keepdims=True)
+            grad = -r / jnp.maximum(port, 1e-12) + ridge * w
+            w_new = proj_simplex(w - tau_p * (grad + apply_Dt(p)))
+            w_bar = 2.0 * w_new - w
+            p_new = prox_phi_conj(p + sigma * apply_D(w_bar), sigma)
+            return (w_new, p_new)
+
+        w, p = jax.lax.fori_loop(0, params.max_iters, body, (w0, p0))
+        out_ref[:] = w * valid[None, :, :]
+
+    return kernel
+
+
+def solve_mpc_log_utility_pallas(
+    current_weights: jax.Array,
+    predicted_log_returns: jax.Array,
+    params: MPCParams,
+    tile_b: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Fused-solve wrapper: [B, N] x [B, H, N] -> ([B, H, N], info).
+
+    The batch is padded to a multiple of ``tile_b`` and assets to 128
+    lanes; results come back unpadded. Gradient flow is not supported
+    (solver output, not a training path).
+    """
+    B, H, N = predicted_log_returns.shape
+    if N > _LANE:
+        raise ValueError(f"asset count {N} > {_LANE} lanes unsupported (tile assets)")
+    dtype = jnp.float32
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    r = jnp.exp(predicted_log_returns).astype(dtype)
+    r_pad = jnp.zeros((Bp, H, _LANE), dtype)
+    r_pad = r_pad.at[:B, :, :N].set(r)
+    cw_pad = jnp.zeros((Bp, _LANE), dtype)
+    cw_pad = cw_pad.at[:B, :N].set(current_weights.astype(dtype))
+    neg_mask = jnp.where(
+        jnp.arange(_LANE)[None, :] < N, 0.0, _NEG
+    ).astype(dtype)                                        # [1, LANE]
+
+    kernel = _make_kernel(params, H)
+    grid = (Bp // tile_b,)
+
+    w_pad = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, H, _LANE), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_b, H, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cw_pad, r_pad, neg_mask)
+
+    w = w_pad[:B, :, :N]
+    w_init = current_weights.astype(dtype)
+    info = {
+        "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
+        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
+    }
+    return w, info

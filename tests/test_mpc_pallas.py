@@ -1,0 +1,48 @@
+"""Pallas fused-solver tests (interpret mode on CPU): numerical agreement
+with the XLA-scan solver, padding/masking correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas
+
+
+def _instance(B=8, H=5, N=20, seed=0):
+    rng = np.random.default_rng(seed)
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    return cw, ys
+
+
+def test_pallas_matches_xla_solver():
+    cw, ys = _instance()
+    params = MPCParams(max_iters=2000, sigma_scale=2.0)
+    w_ref, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
+    w_pl, info_pl = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=8, interpret=True)
+    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_pl))) < 5e-4
+    assert np.max(np.abs(
+        np.asarray(info_ref["objective"]) - np.asarray(info_pl["objective"])
+    )) < 1e-5
+
+
+def test_pallas_feasibility_and_padding():
+    # Batch not divisible by the tile; asset count far from 128.
+    cw, ys = _instance(B=11, N=7, seed=1)
+    params = MPCParams(max_iters=500, sigma_scale=2.0)
+    w, info = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=8, interpret=True)
+    w = np.asarray(w)
+    assert w.shape == (11, 5, 7)
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
+    assert np.all(w >= -1e-6)
+    # Turnover cap respected.
+    u = np.diff(np.concatenate([np.asarray(cw)[:, None], w], axis=1), axis=1)
+    assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 2e-3)
+
+
+def test_pallas_no_turnover_ball():
+    cw, ys = _instance(B=4, N=10, seed=2)
+    params = MPCParams(max_iters=500, sigma_scale=2.0, max_turnover=0.0)
+    w, info = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=4, interpret=True)
+    assert np.allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
