@@ -1,15 +1,23 @@
 """Benchmark harness: batched MPC solve throughput on the local chip.
 
-Prints ONE JSON line:
+Default mode prints ONE JSON line (the driver contract):
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: horizon-5, 30-asset log-utility MPC solves/s/chip (the BASELINE.md
-build target; the reference solves these one at a time with CVXPY/ECOS on
-CPU at O(10-100 ms) each — reference: backtest.py:173-175, mpc.py:108).
-Baseline target: 10,000 solves/s/chip (BASELINE.json).
+Headline metric: horizon-5, 30-asset log-utility MPC solves/s/chip (the
+BASELINE.md build target; the reference solves these one at a time with
+CVXPY/ECOS on CPU at O(10-100 ms) each — reference: backtest.py:173-175,
+mpc.py:108). Target: 10,000 solves/s/chip (BASELINE.json).
 
-The solve is the real thing: fresh random problem data each timing rep,
-full PDHG iteration count, results block_until_ready.
+``--mode`` selects additional BASELINE.json workload configs:
+    mpc       H=5 / 30 assets log-utility (default, headline)
+    long      H=20 / d=10-style long-horizon MPC
+    scenario  4096 dates x Monte-Carlo paths, scenario-averaged Kelly
+    assets500 500-asset universe (sweep/Markowitz scale)
+    train     finance_sparse training step throughput
+
+Timing is synchronized by fetching a scalar checksum to the host —
+block_until_ready alone does not synchronize through this platform's
+remote-execution relay.
 """
 
 from __future__ import annotations
@@ -21,13 +29,31 @@ import time
 import numpy as np
 
 
-def bench_mpc(batch: int, iters: int, reps: int, quick: bool):
+def _timed(solve, make_inputs, reps):
+    import jax.numpy as jnp
+
+    inputs = make_inputs(0)
+    out = solve(*inputs)
+    float(out[-1])  # warm-up compile + full sync via checksum fetch
+
+    times = []
+    last = out
+    for rep in range(reps):
+        inputs = make_inputs(rep + 1)
+        float(jnp.sum(inputs[0]))  # materialize inputs on device
+        t0 = time.perf_counter()
+        last = solve(*inputs)
+        float(last[-1])
+        times.append(time.perf_counter() - t0)
+    return min(times), last
+
+
+def bench_mpc(batch, iters, reps, H=5, N=30):
     import jax
     import jax.numpy as jnp
 
     from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
 
-    H, N = 5, 30
     # feas_tol reflects the achievable turnover-cap slack at this
     # iteration budget (~1e-4 at 1000 iters).
     params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4)
@@ -35,12 +61,7 @@ def bench_mpc(batch: int, iters: int, reps: int, quick: bool):
     @jax.jit
     def solve(cw, ys):
         w, info = solve_mpc_log_utility_batch(cw, ys, params)
-        # Scalar checksum: fetching it on the host forces the whole solve
-        # to complete (block_until_ready alone does not synchronize
-        # through the remote-execution relay on this platform).
-        return w, info["converged"], jnp.sum(w)
-
-    rng = np.random.default_rng(0)
+        return info["converged"], jnp.sum(w)
 
     def make_problems(seed):
         r = np.random.default_rng(seed)
@@ -48,56 +69,127 @@ def bench_mpc(batch: int, iters: int, reps: int, quick: bool):
         ys = jnp.asarray(r.standard_normal((batch, H, N)) * 0.01 + 0.0005, jnp.float32)
         return cw, ys
 
-    # Warm-up / compile (checksum fetch forces real execution).
-    cw, ys = make_problems(0)
-    w, conv, chk = solve(cw, ys)
-    float(chk)
+    best, (conv, _) = _timed(solve, make_problems, reps)
+    return {
+        "value": batch / best,
+        "batch": batch,
+        "H": H,
+        "N": N,
+        "pdhg_iters": iters,
+        "best_batch_time_s": round(best, 4),
+        "converged_frac": float(np.mean(np.asarray(conv))),
+    }
 
+
+def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+    params = MPCParams(max_iters=iters, sigma_scale=2.0)
+
+    @jax.jit
+    def solve(cw, scen):
+        w, info = solve_mpc_log_utility_scenarios(cw, scen, params)
+        return jnp.sum(w)
+
+    def make_problems(seed):
+        r = np.random.default_rng(seed)
+        cw = jnp.asarray(r.dirichlet(np.ones(N), size=batch), jnp.float32)
+        scen = jnp.asarray(
+            r.standard_normal((batch, S, H, N)) * 0.01, jnp.float32
+        )
+        return cw, scen
+
+    best, _ = _timed(lambda a, b: (solve(a, b),), make_problems, reps)
+    return {
+        "value": batch / best,
+        "batch": batch,
+        "scenarios": S,
+        "H": H,
+        "N": N,
+        "pdhg_iters": iters,
+        "best_batch_time_s": round(best, 4),
+    }
+
+
+def bench_train(reps):
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.train.loop import init_train_state, make_train_step
+
+    cfg = get_config("finance_sparse")
+    obs = len(cfg.ENV.FINANCE.TICKERS) * cfg.ENV.FINANCE.EMBEDDING_DIM  # 400
+    model = make_model(cfg, obs)
+    state = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, dt=1.0)
+    B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.SEQUENCE_LENGTH
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T + 1, obs), jnp.float32)
+    state, metrics = step(state, x)
+    float(metrics["loss"])
     times = []
-    for rep in range(reps):
-        cw, ys = make_problems(rep + 1)
-        float(jnp.sum(cw))  # materialize inputs on device
+    for _ in range(reps):
         t0 = time.perf_counter()
-        w, conv, chk = solve(cw, ys)
-        float(chk)          # host fetch of the scalar checksum = full sync
+        state, metrics = step(state, x)
+        float(metrics["loss"])
         times.append(time.perf_counter() - t0)
-
     best = min(times)
-    solves_per_s = batch / best
-    return solves_per_s, best, float(np.mean(np.asarray(conv)))
+    return {
+        "value": 1.0 / best,
+        "unit_note": "train steps/s (finance_sparse: B=64, obs=400, z=1024, T=10)",
+        "best_step_time_s": round(best, 5),
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--mode", type=str, default="mpc",
+                    choices=["mpc", "long", "scenario", "assets500", "train"])
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
+    baseline = 10_000.0  # BASELINE.json target: >=10k solves/s/chip
+
     if args.quick:
-        args.batch = min(args.batch, 512)
+        args.batch = min(args.batch or 512, 512)
         args.iters = min(args.iters, 200)
         args.reps = 2
 
-    solves_per_s, best_t, conv_frac = bench_mpc(
-        args.batch, args.iters, args.reps, args.quick
-    )
-    baseline = 10_000.0  # BASELINE.json target: >=10k solves/s/chip
-    print(
-        json.dumps(
-            {
-                "metric": "mpc_log_utility_solves_per_s_per_chip_H5_N30",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / baseline, 3),
-                "batch": args.batch,
-                "pdhg_iters": args.iters,
-                "best_batch_time_s": round(best_t, 4),
-                "converged_frac": conv_frac,
-            }
-        )
-    )
+    if args.mode == "mpc":
+        res = bench_mpc(args.batch or 8192, args.iters, args.reps)
+        metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30"
+    elif args.mode == "long":
+        res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20, N=30)
+        metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
+    elif args.mode == "assets500":
+        res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5, N=500)
+        metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
+    elif args.mode == "scenario":
+        res = bench_scenario(args.batch or 4096, args.iters, args.reps)
+        metric = "scenario_kelly_solves_per_s_per_chip_S16_H5_N30"
+    else:  # train
+        res = bench_train(args.reps)
+        metric = "finance_sparse_train_steps_per_s"
+        baseline = 1.0  # no reference number; report raw
+
+    value = res.pop("value")
+    out = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "steps/s" if args.mode == "train" else "solves/s",
+        "vs_baseline": round(value / baseline, 3),
+    }
+    out.update(res)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

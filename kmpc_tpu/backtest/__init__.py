@@ -5,6 +5,7 @@ from kmpc_tpu.backtest.engine import (
     DMDStrategy,
     KoopmanMPCStrategy,
     MarkowitzStrategy,
+    ScenarioKoopmanMPCStrategy,
     calculate_metrics,
     run_backtest,
     run_backtest_parallel,
@@ -15,6 +16,7 @@ __all__ = [
     "DMDStrategy",
     "KoopmanMPCStrategy",
     "MarkowitzStrategy",
+    "ScenarioKoopmanMPCStrategy",
     "calculate_metrics",
     "run_backtest",
     "run_backtest_parallel",

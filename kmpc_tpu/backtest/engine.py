@@ -117,6 +117,58 @@ class KoopmanMPCStrategy:
 
 
 @dataclass
+class ScenarioKoopmanMPCStrategy:
+    """Stochastic-Kelly variant: each date solves the scenario-averaged
+    MPC over ``num_scenarios`` Monte-Carlo return paths sampled around
+    the Koopman point forecast (no reference counterpart — the reference
+    MPC consumes one deterministic forecast per date; see
+    ops/scenario.py)."""
+
+    model: KoopmanModel
+    params: Dict
+    mpc: MPCParams
+    num_scenarios: int = 32
+    seed: int = 0
+    residual_std: Optional[jax.Array] = None  # [H, N]; estimated if None
+
+    def precompute(self, fd: FinanceData, horizon: int) -> Dict[str, Any]:
+        from kmpc_tpu.ops.scenario import (
+            estimate_residual_std,
+            generate_return_scenarios,
+        )
+
+        preds = predict_returns(
+            self.model, self.params, fd.test, horizon,
+            fd.n_assets, fd.mean, fd.std,
+        )  # [T, H, N]
+        rstd = self.residual_std
+        if rstd is None:
+            rstd = estimate_residual_std(
+                self.model, self.params, fd.val, horizon,
+                fd.n_assets, fd.mean, fd.std,
+            )
+        scen = generate_return_scenarios(
+            preds, rstd, self.num_scenarios, jax.random.PRNGKey(self.seed)
+        )  # [T, S, H, N]
+        return {"scenario_log_returns": scen}
+
+    def rebalance(self, aux, t, current_weights, warm):
+        from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+        scen = aux["scenario_log_returns"][t]               # [S, H, N]
+        w, _ = solve_mpc_log_utility_scenarios(current_weights, scen, self.mpc)
+        return w[..., 0, :], warm
+
+    def rebalance_all(self, aux, current_weights):
+        from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+        w, _ = solve_mpc_log_utility_scenarios(
+            current_weights, aux["scenario_log_returns"], self.mpc
+        )
+        return w[:, 0, :]
+
+
+@dataclass
 class DMDStrategy:
     """Linear-Koopman baseline: K = X' pinv(X) on train embeddings, linear
     rollout, same MPC (reference: baselines.py:109-187)."""

@@ -1,0 +1,175 @@
+"""Monte-Carlo scenario MPC: stochastic-Kelly over sampled return paths.
+
+BASELINE.json's target workload includes "4096 rolling-window dates x
+Monte-Carlo return paths per chip". The reference has no scenario
+machinery (its MPC consumes one deterministic forecast per date,
+reference: backtest.py:99-124); this module adds it TPU-first:
+
+- :func:`estimate_residual_std` — per-asset, per-lead-time forecast
+  residual scale measured on validation data in one batched pass.
+- :func:`generate_return_scenarios` — S perturbed forecast paths per
+  problem, sampled on-device around the Koopman point forecast.
+- :func:`solve_mpc_log_utility_scenarios` — the scenario-averaged Kelly
+  program: one weight trajectory maximizing the EXPECTED log growth over
+  scenarios. Identical PDHG skeleton to ops/mpc.py; only the smooth
+  gradient changes (an average over the scenario axis), so batching over
+  (date x anything) leading axes is preserved.
+
+    max_w  (1/S) sum_s sum_t log(w_t . r^s_t) - c sum_t ||u_t||_1
+    s.t.   simplex, turnover ball (as in the deterministic program)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kmpc_tpu.models.koopman import KoopmanModel
+from kmpc_tpu.ops.mpc import MPCParams, _apply_D, _apply_Dt
+from kmpc_tpu.ops.projections import (
+    project_hyperplane_sum,
+    project_simplex,
+    prox_l1_in_ball,
+    soft_threshold,
+)
+from kmpc_tpu.ops.rollout import predict_returns
+
+
+def estimate_residual_std(
+    model: KoopmanModel,
+    params: Dict,
+    val_data: jax.Array,
+    horizon: int,
+    n_assets: int,
+    mean: jax.Array,
+    std: jax.Array,
+    max_windows: int = 512,
+) -> jax.Array:
+    """Per-(lead, asset) std of Koopman forecast residuals on validation
+    windows. Returns [horizon, n_assets] (raw log-return scale)."""
+    T = val_data.shape[0]
+    n = max(T - horizon, 1)
+    take = min(n, max_windows)
+    step = max(n // take, 1)
+    starts = jnp.arange(0, n, step)[:take]
+    obs = val_data[starts]                                   # [W, obs]
+    preds = predict_returns(model, params, obs, horizon, n_assets, mean, std)
+    # Truth: raw-scale returns at t+1..t+H for each window.
+    idx = starts[:, None] + 1 + jnp.arange(horizon)[None, :]  # [W, H]
+    truth_std = val_data[idx][..., :n_assets]                 # [W, H, N]
+    truth = truth_std * std + mean
+    resid = preds - truth
+    return jnp.std(resid, axis=0)                             # [H, N]
+
+
+def generate_return_scenarios(
+    point_forecast: jax.Array,
+    residual_std: jax.Array,
+    num_scenarios: int,
+    key: jax.Array,
+    antithetic: bool = True,
+) -> jax.Array:
+    """Gaussian scenarios around the point forecast.
+
+    point_forecast: [..., H, N]; residual_std: [H, N] (broadcast).
+    Returns [..., S, H, N]. Antithetic pairing halves Monte-Carlo
+    variance at no cost (scenario s and s+S/2 use +/- the same draw).
+    """
+    batch_shape = point_forecast.shape[:-2]
+    H, N = point_forecast.shape[-2:]
+    if antithetic:
+        half = max(num_scenarios // 2, 1)
+        eps = jax.random.normal(key, (*batch_shape, half, H, N),
+                                dtype=point_forecast.dtype)
+        eps = jnp.concatenate([eps, -eps], axis=-3)[..., :num_scenarios, :, :]
+    else:
+        eps = jax.random.normal(key, (*batch_shape, num_scenarios, H, N),
+                                dtype=point_forecast.dtype)
+    return point_forecast[..., None, :, :] + eps * residual_std
+
+
+def solve_mpc_log_utility_scenarios(
+    current_weights: jax.Array,
+    scenario_log_returns: jax.Array,
+    params: MPCParams,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Scenario-averaged Kelly MPC.
+
+    Args:
+        current_weights: [..., N]
+        scenario_log_returns: [..., S, H, N]
+    Returns:
+        (weights [..., H, N], info) — ONE weight path per problem,
+        optimal in expectation over its S scenarios.
+    """
+    r = jnp.exp(scenario_log_returns)                     # [..., S, H, N]
+    dtype = r.dtype
+    S = r.shape[-3]
+    w_init = current_weights.astype(dtype)
+    target_shape = (*scenario_log_returns.shape[:-3],
+                    *scenario_log_returns.shape[-2:])     # [..., H, N]
+
+    # Lipschitz bound: average of per-scenario bounds.
+    r_norm2 = jnp.sum(r * r, axis=-1)
+    r_min = jnp.min(r, axis=-1)
+    L_s = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)  # [..., S]
+    L = jnp.mean(L_s, axis=-1)[..., None, None] + params.ridge
+
+    sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+    tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+    c = params.cost_coeff
+    tau_to = params.max_turnover
+    use_ball = tau_to > 0
+
+    def proj_primal(v):
+        if params.allow_short:
+            return project_hyperplane_sum(v, 1.0)
+        return project_simplex(v, 1.0)
+
+    def prox_phi_conj(q, sig):
+        if use_ball:
+            inner = prox_l1_in_ball(q / sig, c / sig, tau_to)
+        else:
+            inner = soft_threshold(q / sig, c / sig)
+        return q - sig * inner
+
+    def grad_g(w):
+        # (1/S) sum_s -r^s / (w . r^s); w broadcast over the scenario axis.
+        port = jnp.sum(w[..., None, :, :] * r, axis=-1, keepdims=True)
+        g = -r / jnp.maximum(port, 1e-12)
+        return jnp.mean(g, axis=-3) + params.ridge * w
+
+    w0 = jnp.broadcast_to(proj_primal(w_init)[..., None, :], target_shape).astype(dtype)
+    p0 = jnp.zeros_like(w0)
+
+    def body(carry, _):
+        w, p = carry
+        w_new = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
+        w_bar = 2.0 * w_new - w
+        p_new = prox_phi_conj(p + sigma * _apply_D(w_bar, w_init), sigma)
+        return (w_new, p_new), None
+
+    (w, p), _ = jax.lax.scan(body, (w0, p0), None, length=params.max_iters)
+
+    w_last = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
+    fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
+    failed = ~jnp.isfinite(fp_res)
+    hold = jnp.broadcast_to(w_init[..., None, :], w_last.shape)
+    w_out = jnp.where(failed[..., None, None], hold, w_last)
+
+    port = jnp.sum(w_out[..., None, :, :] * r, axis=-1)   # [..., S, H]
+    exp_log_growth = jnp.mean(
+        jnp.sum(jnp.log(jnp.maximum(port, 1e-30)), axis=-1), axis=-1
+    )
+    u = _apply_D(w_out, w_init)
+    objective = exp_log_growth - c * jnp.sum(jnp.abs(u), axis=(-2, -1))
+
+    info = {
+        "converged": ~failed,
+        "fixed_point_residual": fp_res,
+        "objective": objective,
+        "num_scenarios": S,
+    }
+    return w_out, info

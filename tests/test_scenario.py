@@ -1,0 +1,117 @@
+"""Scenario (stochastic-Kelly) MPC tests: residual estimation, scenario
+generation, degenerate-case equivalence with the deterministic solver,
+risk-sensitivity behavior, and the backtest strategy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmpc_tpu.config import BacktestConfig, get_config
+from kmpc_tpu.models import make_model
+from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+from kmpc_tpu.ops.scenario import (
+    estimate_residual_std,
+    generate_return_scenarios,
+    solve_mpc_log_utility_scenarios,
+)
+
+H, N = 5, 12
+PARAMS = MPCParams(max_iters=4000, sigma_scale=2.0)
+
+
+def test_generate_scenarios_shapes_and_antithetic():
+    key = jax.random.PRNGKey(0)
+    point = jnp.zeros((7, H, N))
+    rstd = 0.01 * jnp.ones((H, N))
+    scen = generate_return_scenarios(point, rstd, 8, key)
+    assert scen.shape == (7, 8, H, N)
+    # Antithetic pairs: first half = -second half around the point.
+    s = np.asarray(scen)
+    assert np.allclose(s[:, :4], -s[:, 4:], atol=1e-6)
+    # Mean across scenarios is (exactly) the point forecast.
+    assert np.allclose(s.mean(axis=1), 0.0, atol=1e-7)
+
+
+def test_zero_noise_scenarios_match_deterministic():
+    """With zero residual std every scenario equals the point forecast and
+    the scenario solver must reproduce the deterministic solution."""
+    rng = np.random.default_rng(0)
+    cw = jnp.asarray(rng.dirichlet(np.ones(N)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((H, N)) * 0.01, jnp.float32)
+
+    w_det, _ = solve_mpc_log_utility_batch(cw, y, PARAMS)
+    scen = jnp.broadcast_to(y[None], (6, H, N))
+    w_scen, info = solve_mpc_log_utility_scenarios(cw, scen, PARAMS)
+    assert np.max(np.abs(np.asarray(w_det) - np.asarray(w_scen))) < 5e-4
+    assert bool(info["converged"])
+
+
+def test_scenario_solver_batched():
+    rng = np.random.default_rng(1)
+    B, S = 4, 6
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((B, S, H, N)) * 0.01, jnp.float32)
+    w, info = solve_mpc_log_utility_scenarios(cw, scen, MPCParams(max_iters=500))
+    assert w.shape == (B, H, N)
+    assert info["objective"].shape == (B,)
+    assert np.allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
+    assert np.all(np.asarray(w) >= -1e-6)
+
+
+def test_uncertainty_tempers_concentration():
+    """Kelly under return uncertainty allocates less to the risky winner
+    than the deterministic point-forecast solution."""
+    rng = np.random.default_rng(2)
+    cw = jnp.asarray(np.ones(N) / N, jnp.float32)
+    y = np.zeros((H, N), dtype=np.float32)
+    y[:, 0] = 0.01  # modest winner
+    yj = jnp.asarray(y)
+
+    p = MPCParams(max_iters=6000, sigma_scale=2.0, max_turnover=0.0)
+    w_det, _ = solve_mpc_log_utility_batch(cw, yj, p)
+
+    # Huge noise on asset 0 only: log-utility is loss-averse, so the
+    # scenario solution should hold less of it.
+    rstd = np.full((H, N), 1e-4, dtype=np.float32)
+    rstd[:, 0] = 0.25
+    scen = generate_return_scenarios(
+        yj, jnp.asarray(rstd), 64, jax.random.PRNGKey(0)
+    )
+    w_scen, _ = solve_mpc_log_utility_scenarios(cw, scen, p)
+    assert float(w_scen[-1, 0]) < float(w_det[-1, 0]) - 0.05
+
+
+def test_estimate_residual_std():
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = 8
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    obs = 9
+    model = make_model(cfg, obs)
+    params = model.init(jax.random.PRNGKey(0))
+    val = jax.random.normal(jax.random.PRNGKey(1), (80, obs))
+    rstd = estimate_residual_std(
+        model, params, val, horizon=4, n_assets=3,
+        mean=jnp.zeros(3), std=jnp.ones(3),
+    )
+    assert rstd.shape == (4, 3)
+    assert bool(jnp.all(rstd > 0))
+
+
+def test_scenario_strategy_backtest():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_backtest import _mock_finance_data, _tiny_koopman
+
+    from kmpc_tpu.backtest.engine import ScenarioKoopmanMPCStrategy, run_backtest
+
+    fd = _mock_finance_data(T=40, seed=11)
+    model, params = _tiny_koopman(fd)
+    strat = ScenarioKoopmanMPCStrategy(
+        model=model, params=params, mpc=MPCParams(max_iters=300),
+        num_scenarios=8,
+    )
+    df = run_backtest(strat, fd, BacktestConfig(HORIZON=3))
+    assert len(df) == fd.test.shape[0] - 3
+    assert (df["portfolio_value"] > 0).all()
