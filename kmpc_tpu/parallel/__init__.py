@@ -1,5 +1,12 @@
 """Parallelism layer: device mesh, shardings, SPMD program builders."""
 
+from kmpc_tpu.parallel.distributed import (
+    host_local_to_global,
+    initialize_distributed,
+    make_global_mesh,
+    process_local_batch_size,
+    scaling_report,
+)
 from kmpc_tpu.parallel.mesh import (
     make_mesh,
     make_sharded_train_step,
@@ -12,6 +19,11 @@ from kmpc_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "host_local_to_global",
+    "initialize_distributed",
+    "make_global_mesh",
+    "process_local_batch_size",
+    "scaling_report",
     "make_mesh",
     "make_sharded_train_step",
     "mesh_from_config",

@@ -178,3 +178,43 @@ def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Distributed helpers (single-process semantics on the virtual mesh)
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_host_local_to_global_single_process():
+    from kmpc_tpu.parallel.distributed import (
+        host_local_to_global,
+        make_global_mesh,
+        process_local_batch_size,
+    )
+
+    mesh = make_global_mesh({"data": -1})
+    local = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    arr = host_local_to_global(mesh, P("data"), local)
+    assert arr.shape == (16, 3)
+    assert np.allclose(np.asarray(arr), local)
+    assert process_local_batch_size(64) == 64  # one process
+
+
+def test_initialize_distributed_noop_single_host():
+    from kmpc_tpu.parallel.distributed import initialize_distributed
+
+    import os
+    saved = os.environ.pop("TPU_WORKER_HOSTNAMES", None)
+    try:
+        initialize_distributed()  # must be a no-op, not raise
+    finally:
+        if saved is not None:
+            os.environ["TPU_WORKER_HOSTNAMES"] = saved
+
+
+def test_scaling_report():
+    from kmpc_tpu.parallel.distributed import scaling_report
+
+    rep = scaling_report(80_000.0, num_chips=2, per_chip_baseline=50_000.0)
+    assert rep["scaling_efficiency"] == pytest.approx(0.8)
