@@ -219,6 +219,11 @@ def _save_system_plots(
     _save_phase_portrait_grid(model, params, system, settings, path)
     files["phase_portrait_plot_eval"] = str(path)
 
+    path = system_dir / "phase_portrait_overlay.png"
+    _save_phase_portrait_overlay(true_future, predictions, path,
+                                 max_samples=settings.phase_portrait_samples)
+    files["phase_portrait_overlay"] = str(path)
+
     path = system_dir / "mse_vs_horizon.png"
     _save_mse_curves(
         {m: d["mse_curve"] for m, d in mode_metrics.items()}, settings.horizons, path
@@ -239,6 +244,45 @@ def _save_system_plots(
         lyap_files = _save_lyapunov_comparison(model, params, system, system_dir)
         files.update(lyap_files)
     return files
+
+
+def _save_phase_portrait_overlay(
+    true_future: np.ndarray,
+    predictions: Dict[str, np.ndarray],
+    path: Path,
+    max_samples: int = 20,
+) -> None:
+    """All rollout modes overlaid on one axes with ground truth in
+    transparent gray (reference: evaluation.py:197-279). Trajectories
+    with any non-finite prediction in any mode are dropped."""
+    if true_future.shape[-1] < 2:
+        return
+    plt = _mpl()
+    batch = true_future.shape[1]
+    finite = np.ones(batch, dtype=bool)
+    for pred in predictions.values():
+        finite &= np.isfinite(pred.reshape(pred.shape[0], batch, -1)).all(
+            axis=(0, 2)
+        )
+    idx = np.nonzero(finite)[0][:max_samples]
+    if len(idx) == 0:
+        return
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    for b in idx:
+        ax.plot(true_future[:, b, 0], true_future[:, b, 1],
+                color=(0.5, 0.5, 0.5), alpha=0.25, lw=1.5)
+    cmap = plt.get_cmap("tab10")
+    for k, (mode, pred) in enumerate(sorted(predictions.items())):
+        for j, b in enumerate(idx):
+            ax.plot(pred[:, b, 0], pred[:, b, 1], color=cmap(k % 10),
+                    alpha=0.6, lw=0.9, label=mode if j == 0 else None)
+    ax.set_xlabel("x1")
+    ax.set_ylabel("x2")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
 
 
 def _save_phase_portrait_grid(model, params, system, settings, path: Path):

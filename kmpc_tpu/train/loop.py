@@ -341,8 +341,16 @@ def train_finance(
         print(f"Training done in {time.time()-t0:.1f}s "
               f"({steps_done / max(time.time()-t0, 1e-9):.1f} steps/s)")
 
+    # Final evaluation uses the best checkpoint when available
+    # (reference: train.py:525-531).
+    best_dir = run_dir / "checkpoint"
+    eval_params = state["params"]
+    if (best_dir / "arrays.npz").exists():
+        best_state, _ = load_checkpoint(best_dir, state)
+        eval_params = best_state["params"]
+
     final_eval = evaluate_finance(
-        model, state["params"], test_init, test_future,
+        model, eval_params, test_init, test_future,
         max_horizon=100, periodic_reencode_periods=[5, 10, 25],
     )
     eval_summary = {
@@ -381,8 +389,15 @@ def train_system(
     log_dir: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     verbose: bool = True,
+    final_eval: bool = False,
 ) -> Tuple[Dict, KoopmanModel, Path]:
-    """Dynamical-systems training loop. Returns (state, model, run_dir)."""
+    """Dynamical-systems training loop. Returns (state, model, run_dir).
+
+    ``final_eval=True`` additionally runs the standardized evaluation
+    suite on the last and best checkpoints after training (reference:
+    train.py:944-1014); the CLI enables it, the library default keeps
+    short programmatic runs fast.
+    """
     if log_dir is None:
         log_dir = "./runs/kae"
     run_dir = Path(log_dir) / datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -447,7 +462,35 @@ def train_system(
                 save_checkpoint(run_dir / "checkpoint", state, done, cfg.to_dict())
 
     logger.close()
+
+    if final_eval:
+        _post_training_evaluation(cfg, model, state, run_dir, verbose)
+
     return state, model, run_dir
+
+
+def _post_training_evaluation(cfg, model, state, run_dir, verbose):
+    """Evaluate last + best checkpoints with the standardized protocol
+    (reference: train.py:944-1014)."""
+    import json as _json
+
+    from kmpc_tpu.eval.evaluation import EvaluationSettings, evaluate_model
+
+    settings = EvaluationSettings(systems=(cfg.ENV.ENV_NAME,))
+    for name in ("last", "checkpoint"):
+        ckpt_dir = run_dir / name
+        if not (ckpt_dir / "arrays.npz").exists():
+            continue
+        ck_state, meta = load_checkpoint(ckpt_dir, state)
+        tag = "best" if name == "checkpoint" else "last"
+        if verbose:
+            print(f"Evaluating {tag} checkpoint (step {meta['step']})...")
+        results = evaluate_model(
+            model, ck_state["params"], cfg, settings,
+            output_dir=run_dir / f"evaluation_{tag}", verbose=verbose,
+        )
+        with open(run_dir / f"evaluation_results_{tag}.json", "w") as f:
+            _json.dump(results, f, indent=2)
 
 
 def train(
@@ -455,9 +498,11 @@ def train(
     log_dir: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     verbose: bool = True,
+    final_eval: bool = False,
 ) -> Tuple[Dict, KoopmanModel, Path]:
     """Route to finance or dynamical-systems training
     (reference: train.py:752-775)."""
     if cfg.ENV.ENV_NAME.lower() == "finance":
         return train_finance(cfg, log_dir, checkpoint_path, verbose=verbose)
-    return train_system(cfg, log_dir, checkpoint_path, verbose=verbose)
+    return train_system(cfg, log_dir, checkpoint_path, verbose=verbose,
+                        final_eval=final_eval)

@@ -33,7 +33,7 @@ def trained_run(tmp_path_factory):
     res = _run([
         "train.py", "--cpu", "--config", "generic", "--env", "duffing",
         "--num_steps", "6", "--batch_size", "8", "--target_size", "8",
-        "--log_dir", str(log_dir),
+        "--no_final_eval", "--log_dir", str(log_dir),
     ])
     assert res.returncode == 0, res.stderr[-3000:]
     runs = sorted(log_dir.glob("*/"))

@@ -40,6 +40,8 @@ def main():
                         help="checkpoint directory to resume from")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (e.g. for smoke tests)")
+    parser.add_argument("--no_final_eval", action="store_true",
+                        help="skip the post-training standardized evaluation suite")
     args = parser.parse_args()
 
     if args.cpu:
@@ -76,7 +78,10 @@ def main():
     if args.sequence_length is not None:
         cfg.TRAIN.SEQUENCE_LENGTH = args.sequence_length
 
-    state, model, run_dir = train(cfg, log_dir=args.log_dir, checkpoint_path=args.checkpoint)
+    state, model, run_dir = train(
+        cfg, log_dir=args.log_dir, checkpoint_path=args.checkpoint,
+        final_eval=not args.no_final_eval,
+    )
     print(f"Log directory: {run_dir}")
 
 
