@@ -71,6 +71,8 @@ class MPCParams:
     ridge: float = 0.0        # eps/2 ||w||^2 tie-breaker: makes the optimum
                               # unique on the near-flat faces of this LP-like
                               # objective (solution selection, not accuracy)
+    restore_feasibility: bool = True  # exact turnover-cap restoration sweep
+                              # after the iteration (outputs strictly feasible)
 
 
 # ---------------------------------------------------------------------------
@@ -196,10 +198,35 @@ def solve_mpc_log_utility_batch(
         to_viol = jnp.max(
             jnp.maximum(jnp.sum(jnp.abs(u), axis=-1) - tau_to, 0.0), axis=-1
         )
+        if params.restore_feasibility:
+            # Exact turnover restoration: pull each step onto the cap along
+            # the segment to the previous (restored) row. A convex
+            # combination of two simplex points stays on the simplex, so
+            # after this sweep EVERY constraint holds exactly — a hard
+            # guarantee the reference's interior-point solves only
+            # approximate ("optimal_inaccurate"). Objective impact is
+            # O(residual slack): the move shrinks an already-small
+            # infeasibility. to_viol above reports the pre-restoration slack.
+            def restore(prev, wt):
+                ut = wt - prev
+                l1 = jnp.sum(jnp.abs(ut), axis=-1, keepdims=True)
+                scale = jnp.minimum(1.0, tau_to / jnp.maximum(l1, 1e-12))
+                new = prev + scale * ut
+                return new, new
+
+            w_T = jnp.moveaxis(w_last, -2, 0)          # [H, ..., N]
+            _, w_restored = jax.lax.scan(restore, w_init, w_T)
+            w_last = jnp.moveaxis(w_restored, 0, -2)
     else:
         to_viol = jnp.zeros(w_last.shape[:-2], dtype)
 
-    converged = (to_viol <= params.feas_tol) & jnp.isfinite(fp_res)
+    if use_ball and params.restore_feasibility:
+        # Restoration guarantees exact feasibility; convergence is then a
+        # question of the fixed-point residual only (to_viol still reports
+        # the pre-restoration slack for diagnostics).
+        converged = jnp.isfinite(fp_res)
+    else:
+        converged = (to_viol <= params.feas_tol) & jnp.isfinite(fp_res)
 
     # Solver-failure fallback: hold current weights (reference: mpc.py:113-116).
     # Only an actual numerical failure (non-finite iterate) triggers the
