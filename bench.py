@@ -115,6 +115,70 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     }
 
 
+def bench_backtest(reps, n_dates=4096, n_assets=30, sweeps=8):
+    """Parallel (Jacobi) backtest throughput over a large synthetic panel:
+    rebalance dates processed per second, all MPCs batch-solved per sweep
+    (BASELINE config: 'Batched scenario MPC: 4096 rolling-window dates')."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from kmpc_tpu.config import BacktestConfig, get_config
+    from kmpc_tpu.backtest.engine import KoopmanMPCStrategy, make_parallel_backtester
+    from kmpc_tpu.data.finance import (
+        FinanceData, FinanceStats, time_delay_embedding,
+    )
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.ops.mpc import MPCParams
+
+    rng = np.random.default_rng(0)
+    d = 4
+    T = n_dates + 16
+    rets = (rng.standard_normal((T, n_assets)) * 0.01).astype(np.float32)
+    mean = rets.mean(0); std = np.maximum(rets.std(0), 1e-8)
+    emb = time_delay_embedding((rets - mean) / std, d)
+    dates = pd.bdate_range("2005-01-03", periods=len(emb))
+    stats = FinanceStats(mean=mean, std=std, tickers=[f"A{i}" for i in range(n_assets)])
+    meta = {"n_assets": n_assets, "embedding_dim": d, "observation_size": d * n_assets}
+    third = len(emb) // 3
+    fd = FinanceData(
+        train=jnp.asarray(emb[:third]), val=jnp.asarray(emb[third:2*third]),
+        test=jnp.asarray(emb), train_dates=dates[:third],
+        val_dates=dates[third:2*third], test_dates=dates, stats=stats,
+        metadata=meta, mean=jnp.asarray(mean), std=jnp.asarray(std),
+        sequence_length=1,
+    )
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = 64
+    cfg.MODEL.ENCODER.LAYERS = [128]
+    model = make_model(cfg, fd.observation_size)
+    params = model.init(jax.random.PRNGKey(0))
+    strat = KoopmanMPCStrategy(
+        model=model, params=params,
+        mpc=MPCParams(max_iters=500, sigma_scale=2.0),
+    )
+    bt = BacktestConfig(HORIZON=5)
+
+    run, ts = make_parallel_backtester(strat, fd, bt, num_sweeps=sweeps)
+    hist = run()  # warm-up compile
+    float(np.sum(np.asarray(hist["portfolio_value"])))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        hist = run()
+        float(np.sum(np.asarray(hist["portfolio_value"])))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n = len(ts)
+    return {
+        "value": n / best,
+        "dates": n,
+        "sweeps": sweeps,
+        "mpc_solves_per_run": n * sweeps,
+        "best_run_time_s": round(best, 3),
+    }
+
+
 def bench_train(reps):
     import jax
     import jax.numpy as jnp
@@ -150,7 +214,8 @@ def bench_train(reps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", type=str, default="mpc",
-                    choices=["mpc", "long", "scenario", "assets500", "train"])
+                    choices=["mpc", "long", "scenario", "assets500", "train",
+                             "backtest"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
@@ -176,16 +241,23 @@ def main():
     elif args.mode == "scenario":
         res = bench_scenario(args.batch or 4096, args.iters, args.reps)
         metric = "scenario_kelly_solves_per_s_per_chip_S16_H5_N30"
+    elif args.mode == "backtest":
+        res = bench_backtest(args.reps)
+        metric = "parallel_backtest_dates_per_s_4096dates_N30_H5"
+        # Reference: ~1 sequential ECOS solve per date on CPU, O(10-100ms)
+        # each -> O(10-100) dates/s; use 100/s as the generous baseline.
+        baseline = 100.0
     else:  # train
         res = bench_train(args.reps)
         metric = "finance_sparse_train_steps_per_s"
         baseline = 1.0  # no reference number; report raw
 
     value = res.pop("value")
+    units = {"train": "steps/s", "backtest": "dates/s"}
     out = {
         "metric": metric,
         "value": round(value, 1),
-        "unit": "steps/s" if args.mode == "train" else "solves/s",
+        "unit": units.get(args.mode, "solves/s"),
         "vs_baseline": round(value / baseline, 3),
     }
     out.update(res)

@@ -7,6 +7,7 @@ from kmpc_tpu.backtest.engine import (
     MarkowitzStrategy,
     ScenarioKoopmanMPCStrategy,
     calculate_metrics,
+    make_parallel_backtester,
     run_backtest,
     run_backtest_parallel,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "MarkowitzStrategy",
     "ScenarioKoopmanMPCStrategy",
     "calculate_metrics",
+    "make_parallel_backtester",
     "run_backtest",
     "run_backtest_parallel",
 ]

@@ -357,24 +357,18 @@ def _history_to_dataframe(history, fd: FinanceData, ts):
 # ---------------------------------------------------------------------------
 
 
-def run_backtest_parallel(
+def make_parallel_backtester(
     strategy,
     fd: FinanceData,
     config: BacktestConfig,
     num_sweeps: int = 8,
-    return_dataframe: bool = True,
 ):
-    """Backtest via Jacobi sweeps: batch-solve all dates, re-run the wealth
-    recursion, iterate until the pre-trade-weights guesses stop moving
-    (the only inter-date coupling).
+    """Build a reusable compiled Jacobi backtester.
 
-    Convergence: the date coupling is lower-triangular (weights drift
-    forward in time), so each sweep propagates exact information one
-    rebalance date further — ``num_sweeps >= number of dates`` is exact,
-    while a handful of sweeps already yields ~0.1-0.3% wealth-trajectory
-    accuracy because the per-date dependence of the MPC solution on the
-    pre-trade weights is weak (cost term + turnover cap only). Use
-    ``run_backtest`` when exact sequential semantics are required."""
+    Returns ``(run, ts)`` where ``run()`` executes ``num_sweeps`` sweeps
+    and the final history in ONE jitted program (sweep loop included, so
+    repeated calls pay zero retrace), and ``ts`` are the rebalance dates.
+    """
     n_steps = fd.test.shape[0] - config.HORIZON
     ts = np.arange(0, n_steps, config.REBALANCE_FREQ)
     T = len(ts)
@@ -391,7 +385,6 @@ def run_backtest_parallel(
         aux,
     )
 
-    @jax.jit
     def sweep(pre_trade_guess):
         # 1. Batched rebalance for every date given guessed weights.
         targets = strategy.rebalance_all(aux_t, pre_trade_guess)   # [T, N]
@@ -423,16 +416,44 @@ def run_backtest_parallel(
         _, out = jax.lax.scan(body, init, (ts_j, targets))
         return out
 
-    guess = jnp.full((T, n), 1.0 / n, dtype=jnp.float32)
-    history = None
-    for _ in range(num_sweeps):
-        history = sweep(guess)
-        new_guess = history["pre_trade"]
-        delta = float(jnp.max(jnp.abs(new_guess - guess)))
-        guess = new_guess
-        if delta < 1e-7:
-            break
+    @jax.jit
+    def run():
+        guess0 = jnp.full((T, n), 1.0 / n, dtype=jnp.float32)
 
+        def sweep_body(guess, _):
+            return sweep(guess)["pre_trade"], None
+
+        # num_sweeps - 1 guess refinements, then one final sweep for the
+        # full history (all inside this one compiled program).
+        guess, _ = jax.lax.scan(
+            sweep_body, guess0, None, length=max(num_sweeps - 1, 0)
+        )
+        return sweep(guess)
+
+    return run, ts
+
+
+def run_backtest_parallel(
+    strategy,
+    fd: FinanceData,
+    config: BacktestConfig,
+    num_sweeps: int = 8,
+    return_dataframe: bool = True,
+):
+    """Backtest via Jacobi sweeps: batch-solve all dates, re-run the wealth
+    recursion, iterate.
+
+    Convergence: the date coupling is lower-triangular (weights drift
+    forward in time), so each sweep propagates exact information one
+    rebalance date further — ``num_sweeps >= number of dates`` is exact,
+    while a handful of sweeps already yields ~0.1-0.3% wealth-trajectory
+    accuracy because the per-date dependence of the MPC solution on the
+    pre-trade weights is weak (cost term + turnover cap only). Use
+    ``run_backtest`` when exact sequential semantics are required, and
+    :func:`make_parallel_backtester` to amortize compilation over
+    repeated runs."""
+    run, ts = make_parallel_backtester(strategy, fd, config, num_sweeps)
+    history = run()
     history = {k: np.asarray(v) for k, v in history.items()}
     history["t"] = ts
     if not return_dataframe:
