@@ -1,0 +1,256 @@
+"""Semismooth-Newton polish for the log-utility MPC solver.
+
+First-order (PDHG) iterations identify the optimal active sets quickly
+but crawl along the nearly-flat faces of this LP-like objective (the log
+term's curvature orthogonal to r_t is ~var(r) ~ 1e-4, so error decays as
+(1 - tau*1e-4)^k). This module closes the gap the way OSQP/ReLU-QP do:
+once PDHG is in the right neighborhood, a few damped semismooth-Newton
+steps on the PDHG fixed-point residual converge superlinearly to
+machine-precision KKT points.
+
+Residual map (non-extrapolated PDHG fixed point; zero exactly at the
+saddle point):
+
+    R_w(w, p) = w - P( w - tau (grad g(w) + D' p) )
+    R_p(w, p) = p - Q( p + sigma (D w - b) )
+
+with P = simplex projection (per horizon row) and
+Q(q) = q - sigma * B(q / sigma),  B = proj_{l1-ball(tau_to)} o shrink_{c/sigma}.
+
+Generalized Jacobians (all per-row diag +/- rank-1):
+
+    P'(v)  = diag(a) - a a' / |a|             a = active mask of the projection
+    shrink'= diag(s)                          s = |u| > c/sigma
+    ball'  = I (inside) or diag(act) - (sgn act)(sgn act)'/|act| (outside)
+    Q'     = I - ball' . shrink'
+
+The full Jacobian is a [2HN, 2HN] dense matrix per problem (H*N <= ~256
+for every workload config), assembled batched and solved with one
+batched LU — MXU work, microseconds per problem. A Levenberg damping
+lambda*I keeps degenerate faces (singular J) harmless, and each
+problem accepts the Newton result only where the residual actually
+decreased (branch-free select), so the polish can never make a solution
+worse.
+
+STATUS (measured, see tests/test_mpc_polish.py):
+- The Jacobian is exact (machine-precision match with jax.jacfwd of the
+  residual map), and in float64 a single Newton step takes the residual
+  from ~5e-5 to ~2e-13 — textbook superlinear convergence.
+- In float32 the solve is numerically useless on typical instances:
+  cond(J) ~ 1e19-1e20 because the KKT system is near-singular along the
+  problem's flat faces, and neither equilibration nor Levenberg damping
+  recovers a usable step at f32 precision. The branch-free acceptance
+  test then (correctly) rejects every step, so the polish is a no-op on
+  TPU float32.
+- More fundamentally: on degenerate instances the PDHG iterate sits at
+  residual ~1e-4 yet 1e-1 away (in weights) from the oracle's solution —
+  both are epsilon-optimal points on the SAME optimal face. Newton
+  converges to the nearest fixed point, not the oracle's, so weight-
+  parity tails on such instances are unresolvable by ANY polish (two
+  interior-point solvers disagree the same way).
+Use this module in float64 host mode when machine-precision KKT points
+are needed on non-degenerate problems; the default TPU path relies on
+PDHG iterations + exact feasibility restoration instead.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kmpc_tpu.ops.mpc import MPCParams, _apply_D, _apply_Dt
+from kmpc_tpu.ops.projections import _simplex_threshold
+
+
+def _proj_simplex_with_jac(v):
+    """Simplex projection per trailing row + its generalized Jacobian.
+
+    v: [..., H, N] -> (P(v) [..., H, N], active mask a [..., H, N]).
+    Jacobian action: J_P x = a*x - a * (a.x)/|a|.
+    """
+    theta = _simplex_threshold(v, 1.0)
+    w = jnp.maximum(v - theta, 0.0)
+    active = (v - theta > 0.0).astype(v.dtype)
+    return w, active
+
+
+def _apply_P_jac(active, x):
+    """Apply P'(v) = diag(a) - a a'/|a| row-wise to x [..., H, N]."""
+    cnt = jnp.maximum(jnp.sum(active, axis=-1, keepdims=True), 1.0)
+    ax = active * x
+    return ax - active * (jnp.sum(ax, axis=-1, keepdims=True) / cnt)
+
+
+def _Q_with_jac(q, sigma, c, tau_to):
+    """Dual prox Q(q) and the masks needed for Q' (see module docstring)."""
+    u = q / sigma
+    s = (jnp.abs(u) > c / sigma).astype(q.dtype)
+    y = jnp.sign(u) * jnp.maximum(jnp.abs(u) - c / sigma, 0.0)
+    if tau_to > 0:
+        a = jnp.abs(y)
+        l1 = jnp.sum(a, axis=-1, keepdims=True)
+        theta = jnp.maximum(_simplex_threshold(a, tau_to), 0.0)
+        z_out = jnp.sign(y) * jnp.maximum(a - theta, 0.0)
+        outside = (l1 > tau_to).astype(q.dtype)
+        z = jnp.where(outside > 0, z_out, y)
+        act = (a - theta > 0.0).astype(q.dtype) * outside + s * (1.0 - outside)
+        sgn = jnp.sign(y) * act
+    else:
+        z = y
+        outside = jnp.zeros_like(q[..., :1])
+        act = s
+        sgn = jnp.zeros_like(q)
+    Q = q - sigma * z
+    return Q, s, act, sgn, outside
+
+
+def _apply_B_jac(s, act, sgn, outside, x):
+    """Apply B' = ball' . shrink' row-wise to x.
+
+    shrink' x = s*x ; ball' (inside) = I, (outside):
+    diag(act) - sgn sgn'/|act|.
+    """
+    sx = s * x
+    cnt = jnp.maximum(jnp.sum(act, axis=-1, keepdims=True), 1.0)
+    proj = act * sx - sgn * (jnp.sum(sgn * sx, axis=-1, keepdims=True) / cnt)
+    return jnp.where(outside > 0, proj, sx)
+
+
+def polish_log_utility(
+    w: jax.Array,
+    p: jax.Array,
+    current_weights: jax.Array,
+    predicted_log_returns: jax.Array,
+    params: MPCParams,
+    num_newton: int = 4,
+    damping: float = 1e-7,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Damped semismooth-Newton refinement of a PDHG iterate.
+
+    Args:
+        w, p: primal/dual iterates [..., H, N] from the PDHG solver.
+        current_weights: [..., N]; predicted_log_returns: [..., H, N].
+    Returns:
+        (w_polished, info) — per-problem ``residual_before/after`` and an
+        ``accepted`` mask; rejected problems keep their input w.
+    """
+    H, N = predicted_log_returns.shape[-2:]
+    m = H * N
+    dtype = predicted_log_returns.dtype
+    batch_shape = predicted_log_returns.shape[:-2]
+
+    r = jnp.exp(predicted_log_returns)
+    w_init = current_weights.astype(dtype)
+
+    r_norm2 = jnp.sum(r * r, axis=-1)
+    r_min = jnp.min(r, axis=-1)
+    L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)
+    L = L[..., None, None] + params.ridge
+    sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+    tau = params.step_scale / (0.5 * L + sigma * 4.0)
+    c = params.cost_coeff
+    tau_to = params.max_turnover
+
+    def residual_and_masks(w, p):
+        port = jnp.sum(w * r, axis=-1, keepdims=True)
+        grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
+        vw = w - tau * (grad + _apply_Dt(p))
+        Pw, a = _proj_simplex_with_jac(vw)
+        Rw = w - Pw
+        vp = p + sigma * _apply_D(w, w_init)
+        Qp, s, act, sgn, outside = _Q_with_jac(vp, sigma, c, tau_to)
+        Rp = p - Qp
+        masks = (a, s, act, sgn, outside, port, grad)
+        return Rw, Rp, masks
+
+    def hess_g_apply(port, x):
+        """H_g x per row: (r r' / port^2) x + ridge x."""
+        coeff = jnp.sum(r * x, axis=-1, keepdims=True) / jnp.maximum(port, 1e-12) ** 2
+        return r * coeff + params.ridge * x
+
+    def jac_apply(masks, xw, xp):
+        """Apply the full Jacobian J to (xw, xp)."""
+        a, s, act, sgn, outside, port, _ = masks
+        # d vw = xw - tau (Hg xw + D' xp)
+        dvw = xw - tau * (hess_g_apply(port, xw) + _apply_Dt(xp))
+        Jw = xw - _apply_P_jac(a, dvw)
+        # d vp = xp + sigma D xw ; Q' dvp = dvp - B'(dvp)
+        dvp = xp + sigma * _apply_D(xw, jnp.zeros_like(w_init))
+        Jp = xp - (dvp - _apply_B_jac(s, act, sgn, outside, dvp))
+        return Jw, Jp
+
+    def build_dense_J(masks):
+        """Materialize J [.., 2m, 2m] by applying it to basis vectors.
+
+        Vectorized: apply to the identity [2m] basis as one batched call
+        (jac_apply broadcasts over an extra leading axis).
+        """
+        eye = jnp.eye(2 * m, dtype=dtype)                       # [2m, 2m]
+        ew = eye[:, :m].reshape(2 * m, H, N)
+        ep = eye[:, m:].reshape(2 * m, H, N)
+
+        def one(col_w, col_p):
+            bw = jnp.broadcast_to(col_w, batch_shape + (H, N))
+            bp = jnp.broadcast_to(col_p, batch_shape + (H, N))
+            Jw, Jp = jac_apply(masks, bw, bp)
+            return jnp.concatenate(
+                [Jw.reshape(batch_shape + (m,)), Jp.reshape(batch_shape + (m,))],
+                axis=-1,
+            )
+
+        cols = jax.vmap(one)(ew, ep)                            # [2m, ..., 2m]
+        # -> [..., 2m(out), 2m(in)]
+        return jnp.moveaxis(cols, 0, -1)
+
+    accepted_any = jnp.zeros(batch_shape, bool)
+    Rw0, Rp0, _ = residual_and_masks(w, p)
+    res0 = jnp.sqrt(
+        jnp.sum(Rw0**2, axis=(-2, -1)) + jnp.sum(Rp0**2, axis=(-2, -1))
+    )
+
+    w_cur, p_cur = w, p
+    for _ in range(num_newton):
+        Rw, Rp, masks = residual_and_masks(w_cur, p_cur)
+        res = jnp.sqrt(
+            jnp.sum(Rw**2, axis=(-2, -1)) + jnp.sum(Rp**2, axis=(-2, -1))
+        )
+        J = build_dense_J(masks)
+        Jd = J + damping * jnp.eye(2 * m, dtype=dtype)
+        rhs = -jnp.concatenate(
+            [Rw.reshape(batch_shape + (m,)), Rp.reshape(batch_shape + (m,))],
+            axis=-1,
+        )
+        delta = jnp.linalg.solve(Jd, rhs[..., None])[..., 0]    # [..., 2m]
+        dw = delta[..., :m].reshape(w_cur.shape)
+        dp = delta[..., m:].reshape(p_cur.shape)
+
+        w_try = w_cur + dw
+        p_try = p_cur + dp
+        Rw_t, Rp_t, _ = residual_and_masks(w_try, p_try)
+        res_t = jnp.sqrt(
+            jnp.sum(Rw_t**2, axis=(-2, -1)) + jnp.sum(Rp_t**2, axis=(-2, -1))
+        )
+        ok = jnp.isfinite(res_t) & (res_t < res)
+        accepted_any = accepted_any | ok
+        sel = ok[..., None, None]
+        w_cur = jnp.where(sel, w_try, w_cur)
+        p_cur = jnp.where(sel, p_try, p_cur)
+
+    # Final projection: return the primal-feasible point P(vw).
+    port = jnp.sum(w_cur * r, axis=-1, keepdims=True)
+    grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w_cur
+    vw = w_cur - tau * (grad + _apply_Dt(p_cur))
+    w_out, _ = _proj_simplex_with_jac(vw)
+
+    Rw_f, Rp_f, _ = residual_and_masks(w_cur, p_cur)
+    res_f = jnp.sqrt(
+        jnp.sum(Rw_f**2, axis=(-2, -1)) + jnp.sum(Rp_f**2, axis=(-2, -1))
+    )
+    info = {
+        "residual_before": res0,
+        "residual_after": res_f,
+        "accepted": accepted_any,
+    }
+    return w_out, info

@@ -1,0 +1,108 @@
+"""Semismooth-Newton polish tests: Jacobian exactness vs autodiff, and
+float64 superlinear convergence (see ops/mpc_polish.py STATUS notes for
+why the float32 path is expected to be a conservative no-op)."""
+
+import numpy as np
+import pytest
+
+
+def test_jacobian_matches_autodiff_and_f64_newton_converges():
+    import jax
+
+    if jax.config.jax_enable_x64:
+        pytest.skip("needs a fresh x64 subprocess")
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp, warnings; warnings.filterwarnings("ignore")
+from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch, _apply_D, _apply_Dt
+import kmpc_tpu.ops.mpc_polish as MP
+
+rng = np.random.default_rng(0)
+H, N = 3, 6; m = H * N
+params = MPCParams(max_iters=3000, sigma_scale=2.0, restore_feasibility=False)
+y = rng.standard_normal((H, N)) * 0.01 + 0.001
+c = rng.dirichlet(np.ones(N))
+cj, yj = jnp.asarray(c), jnp.asarray(y)
+w1, info = solve_mpc_log_utility_batch(cj, yj, params)
+p1 = info["dual"]
+
+r = jnp.exp(yj); w_init = cj
+L = jnp.max(jnp.sum(r*r,-1)/jnp.maximum(jnp.min(r,-1),1e-12)**2, -1)[None,None]
+sigma = params.sigma_scale*jnp.sqrt(L)/2.0
+tau = 1.0/(0.5*L + sigma*4.0)
+ctc, tau_to = params.cost_coeff, params.max_turnover
+
+def Rvec(x):
+    w = x[:m].reshape(H,N); p = x[m:].reshape(H,N)
+    port = jnp.sum(w*r,-1,keepdims=True)
+    grad = -r/jnp.maximum(port,1e-12)
+    vw = w - tau*(grad + _apply_Dt(p))
+    Pw, a = MP._proj_simplex_with_jac(vw)
+    vp = p + sigma*_apply_D(w, w_init)
+    Qp, s, act, sgn, outside = MP._Q_with_jac(vp, sigma, ctc, tau_to)
+    return jnp.concatenate([(w-Pw).ravel(), (p-Qp).ravel()])
+
+x0 = jnp.concatenate([w1.ravel(), p1.ravel()])
+J = jax.jacfwd(Rvec)(x0)
+
+# Our masked-Jacobian application must match autodiff exactly.
+port = jnp.sum(w1*r,-1,keepdims=True)
+grad = -r/jnp.maximum(port,1e-12)
+vw = w1 - tau*(grad + _apply_Dt(p1))
+_, a = MP._proj_simplex_with_jac(vw)
+vp = p1 + sigma*_apply_D(w1, w_init)
+_, s, act, sgn, outside = MP._Q_with_jac(vp, sigma, ctc, tau_to)
+
+def japply(xw, xp):
+    coeff = jnp.sum(r*xw,-1,keepdims=True)/jnp.maximum(port,1e-12)**2
+    dvw = xw - tau*(r*coeff + _apply_Dt(xp))
+    Jw = xw - MP._apply_P_jac(a, dvw)
+    dvp = xp + sigma*_apply_D(xw, jnp.zeros_like(w_init))
+    Jp = xp - (dvp - MP._apply_B_jac(s, act, sgn, outside, dvp))
+    return jnp.concatenate([Jw.ravel(), Jp.ravel()])
+
+eye = np.eye(2*m)
+J_ours = jnp.stack(
+    [japply(jnp.asarray(eye[k,:m].reshape(H,N)), jnp.asarray(eye[k,m:].reshape(H,N)))
+     for k in range(2*m)], 1)
+assert float(jnp.max(jnp.abs(J - J_ours))) < 1e-12, "jacobian mismatch"
+
+# f64 Newton step: superlinear residual drop.
+res0 = float(jnp.linalg.norm(Rvec(x0)))
+delta = jnp.linalg.solve(J_ours + 1e-9*jnp.eye(2*m), -Rvec(x0))
+res1 = float(jnp.linalg.norm(Rvec(x0 + delta)))
+assert res1 < 1e-9 * max(res0, 1e-30) or res1 < 1e-10, (res0, res1)
+print("OK", res0, res1)
+"""
+    repo = Path(__file__).resolve().parent.parent
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "OK" in res.stdout
+
+
+def test_f32_polish_is_safe_noop_or_better():
+    """In float32 the acceptance test must never make solutions worse."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+    from kmpc_tpu.ops.mpc_polish import polish_log_utility
+
+    rng = np.random.default_rng(1)
+    H, N = 4, 8
+    cw = jnp.asarray(rng.dirichlet(np.ones(N)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((H, N)) * 0.01, jnp.float32)
+    params = MPCParams(max_iters=1000, sigma_scale=2.0, restore_feasibility=False)
+    w1, info = solve_mpc_log_utility_batch(cw, y, params)
+    wp, pinfo = polish_log_utility(w1, info["dual"], cw, y, params, num_newton=2)
+    assert float(pinfo["residual_after"]) <= float(pinfo["residual_before"]) + 1e-6
+    assert np.allclose(np.asarray(wp).sum(-1), 1.0, atol=1e-4)
