@@ -12,10 +12,10 @@ on purpose:
   inside the Python date loop (reference: backtest.py:99-121,
   baselines.py:70-88).
 - Two execution paths over dates:
-    * ``run_backtest`` — exact reference semantics: lax.scan over dates,
-      warm-starting each date's PDHG solve from the previous date
-      (replaces the sequential per-date ECOS solve,
-      reference: backtest.py:173-219).
+    * ``run_backtest`` — exact reference semantics: lax.scan over dates
+      (replaces the sequential per-date ECOS solve, reference:
+      backtest.py:173-219); per-date warm starts are available but
+      opt-in (see KoopmanMPCStrategy.use_warm_start).
     * ``run_backtest_parallel`` — Jacobi fixed-point sweeps: solve ALL
       dates' MPCs simultaneously given guessed pre-trade weights, then
       rerun the (cheap) wealth/drift recursion to update the guesses;
@@ -32,14 +32,13 @@ on purpose:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kmpc_tpu.config import BacktestConfig, Config
+from kmpc_tpu.config import BacktestConfig
 from kmpc_tpu.data.finance import FinanceData
 from kmpc_tpu.models.koopman import KoopmanModel
 from kmpc_tpu.ops.mpc import (

@@ -17,7 +17,6 @@ TPU-native rebuild of the reference's torch ODE environments
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional

@@ -12,7 +12,7 @@ boundary).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kmpc_tpu.config import Config
-from kmpc_tpu.data.systems import DynamicalSystem, make_system
+from kmpc_tpu.data.systems import make_system
 from kmpc_tpu.models.koopman import KoopmanModel
 from kmpc_tpu.ops.rollout import rollout
 

@@ -18,8 +18,8 @@ TPU-native rebuild of the reference KoopmanMachine hierarchy
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

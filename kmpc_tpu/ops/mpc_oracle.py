@@ -21,7 +21,7 @@ smooth objective with linear constraints that trust-constr solves to
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import scipy.optimize as spo

@@ -21,7 +21,7 @@ reference: backtest.py:99-124); this module adds it TPU-first:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

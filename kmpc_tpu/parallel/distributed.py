@@ -20,7 +20,7 @@ NCCL/MPI layer to configure.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -22,11 +22,9 @@ the scaling-book recipe, not hand-written NCCL calls.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -40,6 +40,8 @@ def main():
     parser.add_argument("--mpc_iters", type=int, default=2000)
     parser.add_argument("--parallel", action="store_true",
                         help="use the Jacobi parallel backtest path")
+    parser.add_argument("--scenarios", type=int, default=0,
+                        help="also run the stochastic-Kelly strategy with N Monte-Carlo scenarios")
     parser.add_argument("--sweeps", type=int, default=0,
                         help="parallel-path sweeps (0 = number of dates, exact)")
     parser.add_argument("--output", type=str, default=None)
@@ -52,7 +54,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax
-    import numpy as np
     import pandas as pd
 
     from kmpc_tpu.config import BacktestConfig, Config
@@ -61,6 +62,7 @@ def main():
         DMDStrategy,
         KoopmanMPCStrategy,
         MarkowitzStrategy,
+        ScenarioKoopmanMPCStrategy,
         calculate_metrics,
         run_backtest,
         run_backtest_parallel,
@@ -107,6 +109,10 @@ def main():
         "DMD": DMDStrategy(mpc=mpc),
         "KoopmanMPC": KoopmanMPCStrategy(model=model, params=params, mpc=mpc),
     }
+    if args.scenarios > 0:
+        strategies["ScenarioKelly"] = ScenarioKoopmanMPCStrategy(
+            model=model, params=params, mpc=mpc, num_scenarios=args.scenarios,
+        )
 
     out_dir = Path(args.output) if args.output else run_dir
     results, curves = {}, {}

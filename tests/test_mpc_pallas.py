@@ -18,7 +18,9 @@ def _instance(B=8, H=5, N=20, seed=0):
 
 def test_pallas_matches_xla_solver():
     cw, ys = _instance()
-    params = MPCParams(max_iters=2000, sigma_scale=2.0)
+    # The kernel does not implement the post-iteration feasibility
+    # restoration sweep; compare the raw PDHG outputs.
+    params = MPCParams(max_iters=2000, sigma_scale=2.0, restore_feasibility=False)
     w_ref, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
     w_pl, info_pl = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=8, interpret=True)
     assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_pl))) < 5e-4
