@@ -36,23 +36,35 @@ def main():
     import jax
 
     from kmpc_tpu.config import Config
-    from kmpc_tpu.data.systems import make_system
     from kmpc_tpu.eval.evaluation import EvaluationSettings, evaluate_model
     from kmpc_tpu.models import make_model
-    from kmpc_tpu.train.loop import init_train_state
+    from kmpc_tpu.train.loop import evaluate_finance, init_train_state
     from kmpc_tpu.utils.checkpoint import load_checkpoint
 
     run_dir = Path(args.run_dir)
     cfg = Config.from_json(str(run_dir / "config.json"))
     system_name = args.system or cfg.ENV.ENV_NAME
-    system = make_system(cfg, system_name)
-    model = make_model(cfg, system.observation_size)
+    is_finance = system_name.lower() == "finance"
 
-    settings = EvaluationSettings(
-        systems=(system_name,),
-        horizons=tuple(args.horizons),
-        batch_size=args.batch_size,
-    )
+    if is_finance:
+        from kmpc_tpu.data.finance import load_finance_data
+
+        fd = load_finance_data(cfg)
+        model = make_model(cfg, fd.observation_size)
+        test_init, test_future = fd.get_test_sequences(
+            num_sequences=min(args.batch_size, fd.test.shape[0] // 2),
+            max_length=max(args.horizons),
+        )
+    else:
+        from kmpc_tpu.data.systems import make_system
+
+        system = make_system(cfg, system_name)
+        model = make_model(cfg, system.observation_size)
+        settings = EvaluationSettings(
+            systems=(system_name,),
+            horizons=tuple(args.horizons),
+            batch_size=args.batch_size,
+        )
 
     summary = {}
     for name in args.checkpoints:
@@ -63,10 +75,32 @@ def main():
         state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
         state, meta = load_checkpoint(ckpt_dir, state)
         print(f"Evaluating '{name}' (step {meta['step']}) on {system_name}...")
-        out_dir = run_dir / f"evaluation_{name}"
-        results = evaluate_model(
-            model, state["params"], cfg, settings, output_dir=out_dir
-        )
+        if is_finance:
+            res = evaluate_finance(
+                model, state["params"], test_init, test_future,
+                max_horizon=max(args.horizons),
+            )
+            results = {
+                "mean_mses": res["mean_mses"],
+                "best_mode": res["best_mode"],
+                "best_mse": res["best_mse"],
+                "mse_curves": {k: v.tolist() for k, v in res["mse_curves"].items()},
+            }
+            print(f"  best mode: {res['best_mode']} (MSE {res['best_mse']:.4e})")
+        else:
+            out_dir = run_dir / f"evaluation_{name}"
+            results = evaluate_model(
+                model, state["params"], cfg, settings, output_dir=out_dir
+            )
+            sys_res = results.get(system_name, {})
+            for horizon in args.horizons:
+                hk = str(horizon)
+                modes = sys_res.get("modes", {})
+                nr = modes.get("no_reencode", {}).get("horizons", {}).get(hk)
+                es = modes.get("every_step", {}).get("horizons", {}).get(hk)
+                if nr and es:
+                    print(f"  H={horizon}: no-reencode={nr['mean']:.4e} "
+                          f"every-step={es['mean']:.4e}")
         results_file = run_dir / f"evaluation_results_{name}.json"
         with open(results_file, "w") as f:
             json.dump(results, f, indent=2)
@@ -74,15 +108,6 @@ def main():
             "step": meta["step"],
             "results_file": str(results_file),
         }
-        sys_res = results.get(system_name, {})
-        for horizon in args.horizons:
-            hk = str(horizon)
-            modes = sys_res.get("modes", {})
-            nr = modes.get("no_reencode", {}).get("horizons", {}).get(hk)
-            es = modes.get("every_step", {}).get("horizons", {}).get(hk)
-            if nr and es:
-                print(f"  H={horizon}: no-reencode={nr['mean']:.4e} "
-                      f"every-step={es['mean']:.4e}")
 
     with open(run_dir / "evaluation_summary.json", "w") as f:
         json.dump(summary, f, indent=2)

@@ -54,16 +54,24 @@ def _simplex_threshold(v: jax.Array, radius: float, num_iters: int | None = None
     n = v.shape[-1]
     if num_iters is None:
         num_iters = _michelot_iters_for(n)
-    theta = (jnp.sum(v, axis=-1, keepdims=True) - radius) / n
+
+    # Center by the row max: theta(v - c) = theta(v) - c exactly, and
+    # working with O(spread) values instead of O(offset) values avoids
+    # catastrophic fp32 cancellation when |v| >> radius.
+    vmax = jnp.max(v, axis=-1, keepdims=True)
+    vc = v - vmax
+
+    theta = (jnp.sum(vc, axis=-1, keepdims=True) - radius) / n
 
     def body(_, theta):
-        active = v > theta
+        active = vc > theta
         count = jnp.sum(active, axis=-1, keepdims=True).astype(v.dtype)
-        s = jnp.sum(jnp.where(active, v, 0.0), axis=-1, keepdims=True)
+        s = jnp.sum(jnp.where(active, vc, 0.0), axis=-1, keepdims=True)
         # count >= 1 always: the max element stays active for theta < max(v).
         return (s - radius) / jnp.maximum(count, 1.0)
 
-    return jax.lax.fori_loop(0, num_iters, body, theta)
+    theta = jax.lax.fori_loop(0, num_iters, body, theta)
+    return theta + vmax
 
 
 def project_simplex(v: jax.Array, radius: float = 1.0) -> jax.Array:
