@@ -236,3 +236,62 @@ def test_mean_variance_risk_aversion_diversifies():
     w_low, _ = solve_mpc_mean_variance(cw, mu, Sigma, p_low)
     w_high, _ = solve_mpc_mean_variance(cw, mu, Sigma, p_high)
     assert np.max(w_high) < np.max(w_low) + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_single_step_horizon():
+    rng = np.random.default_rng(10)
+    cw = rng.dirichlet(np.ones(N))
+    y = rng.standard_normal((1, N)) * 0.01
+    w, info = solve_mpc_log_utility(cw, y, MPCParams(max_iters=2000))
+    assert w.shape == (1, N)
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+def test_two_assets():
+    rng = np.random.default_rng(11)
+    cw = np.array([0.5, 0.5])
+    y = np.zeros((H, 2))
+    y[:, 0] = 0.02
+    w, info = solve_mpc_log_utility(cw, y, MPCParams(max_iters=4000, sigma_scale=2.0))
+    assert w[0, 0] > 0.5  # moves toward the winner
+    u = np.diff(np.vstack([cw[None], w]), axis=0)
+    assert np.all(np.abs(u).sum(-1) <= 0.2 + 1e-4)
+
+
+def test_extreme_returns_finite():
+    """Huge predicted returns must not produce NaNs (exp overflow guard)."""
+    rng = np.random.default_rng(12)
+    cw = rng.dirichlet(np.ones(N))
+    y = rng.standard_normal((H, N)) * 2.0  # +/- several hundred percent
+    w, info = solve_mpc_log_utility(cw, y, MPCParams(max_iters=1000))
+    assert np.all(np.isfinite(w))
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
+
+
+def test_degenerate_current_weights():
+    """All-in-one-asset current weights (a drifted portfolio corner)."""
+    cw = np.zeros(N)
+    cw[0] = 1.0
+    y = np.zeros((H, N))
+    w, info = solve_mpc_log_utility(cw, y, MPCParams(max_iters=2000))
+    # Flat returns: moving costs; solver must stay near the corner.
+    assert w[0, 0] > 0.75
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+def test_restoration_strict_feasibility():
+    """Feasibility restoration: outputs satisfy the cap exactly even at a
+    tiny iteration budget."""
+    rng = np.random.default_rng(13)
+    cw = rng.dirichlet(np.ones(N))
+    y = rng.standard_normal((H, N)) * 0.05
+    w, info = solve_mpc_log_utility(cw, y, MPCParams(max_iters=50))
+    u = np.diff(np.vstack([cw[None], w]), axis=0)
+    assert np.max(np.abs(u).sum(-1)) <= 0.2 + 1e-5
+    assert np.all(w >= -1e-7)
+    assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
