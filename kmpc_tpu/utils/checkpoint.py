@@ -93,3 +93,48 @@ def load_checkpoint(directory: str | Path, like: Dict[str, Any]) -> tuple[Dict[s
         leaves.append(loaded)
     state = jax.tree_util.tree_unflatten(paths_like[1], leaves)
     return state, meta
+
+
+# ---------------------------------------------------------------------------
+# Optional Orbax backend (multi-host / async production checkpointing)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(
+    directory: str | Path,
+    state: Dict[str, Any],
+    step: int,
+    config_dict: Optional[dict] = None,
+    extra: Optional[dict] = None,
+) -> Path:
+    """Sharded Orbax checkpoint (SURVEY.md §5: the production-grade
+    multi-host path — each host writes only its shards, unlike the npz
+    backend which gathers the full value everywhere).
+
+    Directory layout: <dir>/state (orbax) + <dir>/meta.json.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    directory.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(directory / "state", state, force=True)
+    meta = {"step": int(step), "config": config_dict, "extra": extra or {}}
+    with open(directory / "meta.json", "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return directory
+
+
+def load_checkpoint_orbax(
+    directory: str | Path, like: Dict[str, Any]
+) -> tuple[Dict[str, Any], dict]:
+    """Restore an Orbax checkpoint into the structure (and shardings) of
+    ``like``."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(directory / "state", like)
+    with open(directory / "meta.json") as f:
+        meta = json.load(f)
+    return state, meta

@@ -72,3 +72,27 @@ def test_stage_timer():
     assert s["work"]["total_s"] >= 0.02
     report = timer.report()
     assert "work" in report and "mean_ms" in report
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpoint backend
+# ---------------------------------------------------------------------------
+
+
+def test_orbax_checkpoint_round_trip(tmp_path):
+    from kmpc_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    state = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.zeros(4)},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    save_checkpoint_orbax(tmp_path / "ck", state, step=7,
+                          config_dict={"x": 1}, extra={"note": "hi"})
+    restored, meta = load_checkpoint_orbax(tmp_path / "ck", state)
+    assert meta["step"] == 7
+    assert meta["extra"]["note"] == "hi"
+    assert np.allclose(np.asarray(restored["params"]["w"]),
+                       np.asarray(state["params"]["w"]))
