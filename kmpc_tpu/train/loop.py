@@ -181,7 +181,14 @@ def evaluate_finance(
     max_horizon: int = 50,
     periodic_reencode_periods=(5, 10, 25),
 ) -> Dict[str, Any]:
-    """Multi-mode finance rollout MSE (reference: train.py:221-300)."""
+    """Multi-mode finance rollout MSE (reference: train.py:221-300).
+
+    Rollouts run through the jitted entry (one compiled program per
+    mode/shape): op-by-op dispatch is prohibitively slow on high-latency
+    remote-execution backends.
+    """
+    from kmpc_tpu.ops.rollout import rollout_jit
+
     horizon = min(max_horizon, future_states.shape[0])
     true = future_states[:horizon]
 
@@ -191,7 +198,7 @@ def evaluate_finance(
 
     mse_curves, l2_curves, predictions = {}, {}, {}
     for name, period in modes.items():
-        pred = rollout(model, params, initial_states, horizon, reencode_period=period)
+        pred = rollout_jit(model, params, initial_states, horizon, period)
         predictions[name] = pred
         mse_curves[name] = jnp.mean((pred - true) ** 2, axis=(1, 2))
         l2_curves[name] = jnp.mean(jnp.linalg.norm(pred - true, axis=-1), axis=1)
@@ -218,20 +225,33 @@ def evaluate_finance(
     }
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _val_loss_batch(model, params, win):
+    return model.loss_sequence(params, win)[0]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _val_loss_pair(model, params, x, nx):
+    return model.loss(params, x, nx)[0]
+
+
 def _val_loss(model, params, fd: FinanceData, cfg: Config, max_batches: int = 10) -> float:
-    """Capped validation loss (reference: train.py:451-472)."""
+    """Capped validation loss (reference: train.py:451-472); jitted per
+    batch shape so the loop stays fast on remote backends."""
     use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
     L = cfg.TRAIN.SEQUENCE_LENGTH if use_seq else 1
     B = cfg.TRAIN.BATCH_SIZE
     n = fd.num_examples("val", L)
     total, batches = 0.0, 0
     for start in range(0, max(n - B, 1), B):
-        idx = jnp.arange(start, min(start + B, n))
+        if start + B > n:
+            break  # keep a fixed batch shape (single compilation)
+        idx = jnp.arange(start, start + B)
         win = fd.batch_at(idx, "val", L)
         if use_seq:
-            loss, _ = model.loss_sequence(params, win)
+            loss = _val_loss_batch(model, params, win)
         else:
-            loss, _ = model.loss(params, win[:, 0], win[:, 1])
+            loss = _val_loss_pair(model, params, win[:, 0], win[:, 1])
         total += float(loss)
         batches += 1
         if batches >= max_batches:
