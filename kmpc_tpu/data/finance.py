@@ -298,6 +298,11 @@ class FinanceData:
         L = self.sequence_length if sequence_length is None else sequence_length
         data = self.split(split)
         n = data.shape[0] - L
+        if n <= 0:
+            raise ValueError(
+                f"Split '{split}' has {data.shape[0]} rows — too short for "
+                f"sequence_length {L} (reference: data_finance.py:391-394)"
+            )
         starts = jax.random.randint(key, (batch_size,), 0, n)
         idx = starts[:, None] + jnp.arange(L + 1)[None, :]  # [B, L+1]
         return data[idx]
