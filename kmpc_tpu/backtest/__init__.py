@@ -7,6 +7,7 @@ from kmpc_tpu.backtest.engine import (
     MarkowitzStrategy,
     ScenarioKoopmanMPCStrategy,
     calculate_metrics,
+    make_backtester,
     make_parallel_backtester,
     run_backtest,
     run_backtest_parallel,
@@ -19,6 +20,7 @@ __all__ = [
     "MarkowitzStrategy",
     "ScenarioKoopmanMPCStrategy",
     "calculate_metrics",
+    "make_backtester",
     "make_parallel_backtester",
     "run_backtest",
     "run_backtest_parallel",

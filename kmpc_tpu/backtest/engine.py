@@ -277,17 +277,17 @@ def _market_step(portfolio_value, current_weights, target_weights, realized_ret,
 # ---------------------------------------------------------------------------
 
 
-def run_backtest(
+def make_backtester(
     strategy,
     fd: FinanceData,
     config: BacktestConfig,
-    return_dataframe: bool = True,
 ):
-    """Sequential-semantics backtest as one jitted lax.scan over dates.
+    """Build a reusable compiled sequential backtester.
 
-    Returns a pandas DataFrame with the reference's history schema
-    (date, portfolio_value, return, turnover, cost —
-    reference: backtest.py:211-217) or the raw arrays dict.
+    Returns ``(run, ts)``: ``run()`` executes the whole date scan as one
+    compiled program; repeated calls pay zero retrace (mirror of
+    :func:`make_parallel_backtester` — a bare ``run_backtest`` call
+    builds a fresh closure and therefore recompiles).
     """
     n_steps = fd.test.shape[0] - config.HORIZON
     ts = np.arange(0, n_steps, config.REBALANCE_FREQ)
@@ -324,11 +324,32 @@ def run_backtest(
         }
         return (value, new_weights, warm), out
 
-    init = (jnp.asarray(config.INITIAL_CAPITAL, jnp.float32), w0, warm0)
-    scan = jax.jit(
-        lambda init: jax.lax.scan(scan_body, init, jnp.asarray(ts))
-    )
-    (_, _, _), history = scan(init)
+    ts_j = jnp.asarray(ts)
+
+    @jax.jit
+    def run():
+        init = (jnp.asarray(config.INITIAL_CAPITAL, jnp.float32), w0, warm0)
+        (_, _, _), history = jax.lax.scan(scan_body, init, ts_j)
+        return history
+
+    return run, ts
+
+
+def run_backtest(
+    strategy,
+    fd: FinanceData,
+    config: BacktestConfig,
+    return_dataframe: bool = True,
+):
+    """Sequential-semantics backtest as one jitted lax.scan over dates.
+
+    Returns a pandas DataFrame with the reference's history schema
+    (date, portfolio_value, return, turnover, cost —
+    reference: backtest.py:211-217) or the raw arrays dict. For repeated
+    runs, build once with :func:`make_backtester`.
+    """
+    run, ts = make_backtester(strategy, fd, config)
+    history = run()
     history = {k: np.asarray(v) for k, v in history.items()}
     history["t"] = ts
 

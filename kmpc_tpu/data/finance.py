@@ -365,7 +365,16 @@ def load_finance_data(
 
     cache_path = None
     if fin.CACHE_DIR is not None:
-        ticker_hash = hash(tuple(sorted(fin.TICKERS))) % 10000
+        # Deterministic digest: Python's builtin hash() is salted per
+        # process, which would make the cache unreachable on the next run
+        # (and silently fall back to synthetic data when a user staged
+        # REAL prices at the cache path). The reference has this bug
+        # (data_finance.py:451); not replicated.
+        import hashlib
+
+        ticker_hash = hashlib.md5(
+            ",".join(sorted(fin.TICKERS)).encode()
+        ).hexdigest()[:8]
         cache_path = Path(fin.CACHE_DIR) / (
             f"prices_{fin.START_DATE}_{fin.END_DATE}_{ticker_hash}.parquet"
         )

@@ -75,6 +75,21 @@ class MPCParams:
                               # after the iteration (outputs strictly feasible)
 
 
+def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
+    """Build MPCParams from a Config's MPC section (kwargs override)."""
+    base = dict(
+        horizon=cfg.MPC.HORIZON,
+        gamma=cfg.MPC.GAMMA,
+        cost_coeff=cfg.MPC.COST_COEFF,
+        max_turnover=cfg.MPC.MAX_TURNOVER,
+        allow_short=cfg.MPC.ALLOW_SHORT,
+        max_iters=cfg.MPC.SOLVER.MAX_ITERS,
+        step_scale=cfg.MPC.SOLVER.STEP_SCALE,
+    )
+    base.update(overrides)
+    return MPCParams(**base)
+
+
 # ---------------------------------------------------------------------------
 # Difference operator on the horizon axis (axis = -2 of [..., H, N])
 # ---------------------------------------------------------------------------

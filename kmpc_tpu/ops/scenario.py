@@ -80,7 +80,9 @@ def generate_return_scenarios(
     batch_shape = point_forecast.shape[:-2]
     H, N = point_forecast.shape[-2:]
     if antithetic:
-        half = max(num_scenarios // 2, 1)
+        # ceil so an odd request still yields num_scenarios paths (the
+        # unpaired extra draw is simply not mirrored).
+        half = (num_scenarios + 1) // 2
         eps = jax.random.normal(key, (*batch_shape, half, H, N),
                                 dtype=point_forecast.dtype)
         eps = jnp.concatenate([eps, -eps], axis=-3)[..., :num_scenarios, :, :]

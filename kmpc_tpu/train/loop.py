@@ -237,22 +237,31 @@ def _val_loss_pair(model, params, x, nx):
 
 def _val_loss(model, params, fd: FinanceData, cfg: Config, max_batches: int = 10) -> float:
     """Capped validation loss (reference: train.py:451-472); jitted per
-    batch shape so the loop stays fast on remote backends."""
+    batch shape so the loop stays fast on remote backends.
+
+    Splits shorter than one full batch fall back to a single smaller
+    batch (one extra compilation) instead of silently reporting 0.0;
+    splits shorter than the window return NaN.
+    """
     use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
     L = cfg.TRAIN.SEQUENCE_LENGTH if use_seq else 1
     B = cfg.TRAIN.BATCH_SIZE
     n = fd.num_examples("val", L)
-    total, batches = 0.0, 0
-    for start in range(0, max(n - B, 1), B):
-        if start + B > n:
-            break  # keep a fixed batch shape (single compilation)
-        idx = jnp.arange(start, start + B)
+    if n <= 0:
+        return float("nan")
+
+    def one(start, size):
+        idx = jnp.arange(start, start + size)
         win = fd.batch_at(idx, "val", L)
         if use_seq:
-            loss = _val_loss_batch(model, params, win)
-        else:
-            loss = _val_loss_pair(model, params, win[:, 0], win[:, 1])
-        total += float(loss)
+            return float(_val_loss_batch(model, params, win))
+        return float(_val_loss_pair(model, params, win[:, 0], win[:, 1]))
+
+    if n < B:
+        return one(0, n)
+    total, batches = 0.0, 0
+    for start in range(0, n - B + 1, B):
+        total += one(start, B)
         batches += 1
         if batches >= max_batches:
             break

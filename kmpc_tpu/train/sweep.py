@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 from datetime import datetime
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -70,6 +71,45 @@ def make_sweep_train_step(cfg: Config, model: KoopmanModel, dt: float):
     return jax.jit(vstep, donate_argnums=(0,))
 
 
+def make_fused_sweep_step(cfg: Config, model: KoopmanModel, system):
+    """Sweep step with on-device data generation fused into the jitted
+    program: (stacked_state, key, coeffs [S]) -> (stacked_state, metrics).
+
+    One compiled program per step — the eager per-step reset/RK4 path is
+    ~30 ms/dispatch on remote-execution backends (cf.
+    train/loop.py:make_system_train_step).
+    """
+    tx = build_optimizer(cfg, None)
+    B = cfg.TRAIN.BATCH_SIZE
+    T = cfg.TRAIN.SEQUENCE_LENGTH
+    use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
+    dt = system.dt
+
+    def single_step(state, batch, coeff):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: _sweep_loss(model, cfg, p, batch, coeff, dt), has_aux=True
+        )(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": params, "opt_state": opt_state, "step": state["step"] + 1},
+            metrics,
+        )
+
+    vstep = jax.vmap(single_step, in_axes=(0, None, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused(states, key, coeffs):
+        if use_seq:
+            batch = system.sequence_batch(key, B, T)
+        else:
+            x = system.reset(key, B)
+            batch = (x, system.step(x))
+        return vstep(states, batch, coeffs)
+
+    return fused
+
+
 def stack_states(cfg: Config, model: KoopmanModel, key: jax.Array, n: int) -> Dict:
     """n identical initial train states stacked on a leading sweep axis
     (same init for every coefficient — matches the reference's fixed-seed
@@ -110,20 +150,11 @@ def run_sparsity_sweep(
     key = jax.random.PRNGKey(cfg.SEED)
     init_key, data_key, eval_key = jax.random.split(key, 3)
     states = stack_states(cfg, model, init_key, S)
-    step_fn = make_sweep_train_step(cfg, model, dt)
-
-    B = cfg.TRAIN.BATCH_SIZE
-    T = cfg.TRAIN.SEQUENCE_LENGTH
-    use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
+    step_fn = make_fused_sweep_step(cfg, model, system)
 
     for step in range(cfg.TRAIN.NUM_STEPS):
         bkey = jax.random.fold_in(data_key, step)
-        if use_seq:
-            batch = system.sequence_batch(bkey, B, T)
-        else:
-            x = system.reset(bkey, B)
-            batch = (x, system.step(x))
-        states, metrics = step_fn(states, batch, coeffs)
+        states, metrics = step_fn(states, bkey, coeffs)
         if verbose and step % max(cfg.TRAIN.LOG_INTERVAL, 1) == 0:
             losses = np.asarray(metrics["loss"])
             print(f"sweep step {step}/{cfg.TRAIN.NUM_STEPS} "

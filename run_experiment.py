@@ -33,11 +33,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", type=str, default=None,
                         help="run directory (default: latest under runs/kae_finance)")
-    parser.add_argument("--horizon", type=int, default=5)
-    parser.add_argument("--cost_coeff", type=float, default=0.001)
-    parser.add_argument("--max_turnover", type=float, default=0.2)
+    parser.add_argument("--horizon", type=int, default=None,
+                        help="default: the run config's MPC.HORIZON")
+    parser.add_argument("--cost_coeff", type=float, default=None,
+                        help="default: the run config's MPC.COST_COEFF")
+    parser.add_argument("--max_turnover", type=float, default=None,
+                        help="default: the run config's MPC.MAX_TURNOVER")
     parser.add_argument("--risk_aversion", type=float, default=1.0)
-    parser.add_argument("--mpc_iters", type=int, default=2000)
+    parser.add_argument("--mpc_iters", type=int, default=None,
+                        help="default: the run config's MPC.SOLVER.MAX_ITERS")
     parser.add_argument("--parallel", action="store_true",
                         help="use the Jacobi parallel backtest path")
     parser.add_argument("--scenarios", type=int, default=0,
@@ -69,7 +73,7 @@ def main():
     )
     from kmpc_tpu.data.finance import load_finance_data
     from kmpc_tpu.models import make_model
-    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.mpc import MPCParams, mpc_params_from_config
     from kmpc_tpu.train.loop import init_train_state
     from kmpc_tpu.utils.checkpoint import load_checkpoint
 
@@ -87,25 +91,36 @@ def main():
     params = state["params"]
     print(f"Loaded model at step {meta['step']}")
 
+    # CLI flags override the run's config.json MPC/BACKTEST sections.
+    horizon = args.horizon if args.horizon is not None else cfg.MPC.HORIZON
+    cost_coeff = (args.cost_coeff if args.cost_coeff is not None
+                  else cfg.MPC.COST_COEFF)
+    max_turnover = (args.max_turnover if args.max_turnover is not None
+                    else cfg.MPC.MAX_TURNOVER)
+    mpc_iters = (args.mpc_iters if args.mpc_iters is not None
+                 else cfg.MPC.SOLVER.MAX_ITERS)
+
     bt_cfg = BacktestConfig(
-        HORIZON=args.horizon,
-        COST_COEFF=args.cost_coeff,
+        INITIAL_CAPITAL=cfg.BACKTEST.INITIAL_CAPITAL,
+        HORIZON=horizon,
+        REBALANCE_FREQ=cfg.BACKTEST.REBALANCE_FREQ,
+        COST_COEFF=cost_coeff,
+        ALLOW_SHORT=cfg.BACKTEST.ALLOW_SHORT,
+        LOOKBACK_WINDOW=cfg.BACKTEST.LOOKBACK_WINDOW,
     )
-    mpc = MPCParams(
-        horizon=args.horizon,
-        cost_coeff=args.cost_coeff,
-        max_turnover=args.max_turnover,
-        max_iters=args.mpc_iters,
-        sigma_scale=2.0,
+    mpc = mpc_params_from_config(
+        cfg, horizon=horizon, cost_coeff=cost_coeff,
+        max_turnover=max_turnover, max_iters=mpc_iters, sigma_scale=2.0,
     )
-    mv_mpc = MPCParams(
-        horizon=1, gamma=args.risk_aversion, cost_coeff=args.cost_coeff,
-        max_iters=args.mpc_iters,
+    mv_mpc = mpc_params_from_config(
+        cfg, horizon=1, gamma=args.risk_aversion, cost_coeff=cost_coeff,
+        max_iters=mpc_iters,
     )
 
     strategies = {
         "BuyAndHold": BuyAndHoldStrategy(),
-        "Markowitz": MarkowitzStrategy(mpc=mv_mpc),
+        "Markowitz": MarkowitzStrategy(
+            mpc=mv_mpc, lookback_window=bt_cfg.LOOKBACK_WINDOW),
         "DMD": DMDStrategy(mpc=mpc),
         "KoopmanMPC": KoopmanMPCStrategy(model=model, params=params, mpc=mpc),
     }
@@ -115,6 +130,7 @@ def main():
         )
 
     out_dir = Path(args.output) if args.output else run_dir
+    out_dir.mkdir(parents=True, exist_ok=True)
     results, curves = {}, {}
     n_dates = fd.test.shape[0] - bt_cfg.HORIZON
     sweeps = args.sweeps if args.sweeps > 0 else n_dates

@@ -88,7 +88,6 @@ def _reference_style_backtest(model, params, fd, horizon, cost_coeff,
     return {k: np.asarray(v) for k, v in history.items()}
 
 
-@pytest.mark.slow
 def test_engine_matches_reference_semantics():
     fd = _mock_finance_data(T=28, N=6, seed=21)
     model, params = _tiny_koopman(fd)
