@@ -86,6 +86,8 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         max_iters=cfg.MPC.SOLVER.MAX_ITERS,
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
     )
+    if cfg.MPC.SOLVER.TOL > 0:
+        base["feas_tol"] = cfg.MPC.SOLVER.TOL
     base.update(overrides)
     return MPCParams(**base)
 
