@@ -44,6 +44,32 @@ from kmpc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from kmpc_tpu.utils.logger import MetricsLogger
 
 
+def _maybe_shard(cfg: Config, model: KoopmanModel, state: Dict):
+    """Apply cfg.PARALLEL mesh sharding to the train state.
+
+    Returns (state, mesh_or_None, batch_shard_fn). With a trivial 1x1x1
+    PARALLEL section this is a no-op; otherwise params get the tensor-
+    parallel placement and batches are sharded over (data, scenario).
+    """
+    sizes = (cfg.PARALLEL.DATA, cfg.PARALLEL.SCENARIO, cfg.PARALLEL.MODEL)
+    if all(s in (1, None) for s in sizes):
+        return state, None, lambda b: b
+
+    from kmpc_tpu.parallel.mesh import (
+        mesh_from_config,
+        shard_batch,
+        shard_params,
+    )
+
+    mesh = mesh_from_config(cfg)
+    state = dict(state, params=shard_params(state["params"], model, mesh))
+
+    def shard(batch):
+        return shard_batch(batch, mesh, ("data", "scenario"))
+
+    return state, mesh, shard
+
+
 # ---------------------------------------------------------------------------
 # Optimizer (reference: train.py:158-188)
 # ---------------------------------------------------------------------------
@@ -302,6 +328,10 @@ def train_finance(
         if verbose:
             print(f"Resumed from checkpoint at step {start_step}")
 
+    state, mesh, shard = _maybe_shard(cfg, model, state)
+    if mesh is not None and verbose:
+        print(f"SPMD mesh: {dict(mesh.shape)}")
+
     train_step = make_train_step(cfg, model, dt=1.0)
     use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
     L = cfg.TRAIN.SEQUENCE_LENGTH if use_seq else 1
@@ -322,7 +352,7 @@ def train_finance(
     for step in range(start_step, cfg.TRAIN.NUM_STEPS):
         bkey = jax.random.fold_in(data_key, step)
         win = fd.sample_batch(bkey, "train", cfg.TRAIN.BATCH_SIZE, L)
-        batch = win if use_seq else (win[:, 0], win[:, 1])
+        batch = shard(win) if use_seq else shard((win[:, 0], win[:, 1]))
         state, metrics = train_step(state, batch)
 
         if step % cfg.TRAIN.LOG_INTERVAL == 0:
@@ -448,6 +478,10 @@ def train_system(
         start_step = int(meta["step"])
         if verbose:
             print(f"Resumed from checkpoint at step {start_step}")
+
+    state, mesh, _ = _maybe_shard(cfg, model, state)
+    if mesh is not None and verbose:
+        print(f"SPMD mesh: {dict(mesh.shape)}")
 
     train_step = make_system_train_step(cfg, model, system)
 

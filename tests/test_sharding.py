@@ -218,3 +218,29 @@ def test_scaling_report():
 
     rep = scaling_report(80_000.0, num_chips=2, per_chip_baseline=50_000.0)
     assert rep["scaling_efficiency"] == pytest.approx(0.8)
+
+
+@requires_8
+def test_train_finance_with_parallel_config(tmp_path):
+    """cfg.PARALLEL drives mesh sharding inside train_finance."""
+    from kmpc_tpu.config import FinanceConfig, get_config
+    from kmpc_tpu.train.loop import train_finance
+
+    cfg = get_config("finance_sparse")
+    cfg.MODEL.TARGET_SIZE = 16
+    cfg.MODEL.ENCODER.LAYERS = [32]
+    cfg.TRAIN.NUM_STEPS = 4
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.EVAL_INTERVAL = 3
+    cfg.ENV.FINANCE = FinanceConfig(
+        TICKERS=["T1", "T2", "T3"], START_DATE="2018-01-01",
+        END_DATE="2021-12-31", TRAIN_END="2019-12-31", VAL_END="2020-12-31",
+        EMBEDDING_DIM=3, CACHE_DIR=None, SYNTHETIC=True,
+    )
+    cfg.PARALLEL.DATA = 2
+    cfg.PARALLEL.SCENARIO = 2
+    cfg.PARALLEL.MODEL = 2
+    state, model, run_dir = train_finance(cfg, log_dir=str(tmp_path), verbose=False)
+    assert int(state["step"]) == 4
+    # kmat came back tensor-parallel sharded.
+    assert state["params"]["kmat"].sharding.spec == P(None, "model")
