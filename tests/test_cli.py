@@ -155,3 +155,17 @@ def test_finance_plots(tmp_path):
     }
     for path in files.values():
         assert Path(path).exists()
+
+
+
+def test_sweep_sparsity_cli(tmp_path):
+    res = _run([
+        "sweep_sparsity.py", "--cpu", "--num_steps", "4", "--batch_size", "8",
+        "--coefficients", "0.0", "0.1", "--eval_horizon", "8",
+        "--log_dir", str(tmp_path),
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    runs = sorted(tmp_path.glob("*/"))
+    assert runs
+    assert (runs[-1] / "sparsity_sweep_results.json").exists()
+    assert "Best coefficient" in res.stdout

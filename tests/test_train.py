@@ -212,7 +212,7 @@ def test_resume_from_checkpoint(tmp_path):
     assert int(state2["step"]) == 10
 
 
-@pytest.mark.parametrize("env", ["pendulum", "lotka_volterra", "parabolic", "lyapunov"])
+@pytest.mark.parametrize("env", ["pendulum", "lotka_volterra", "parabolic", "lyapunov", "lorenz63"])
 def test_all_environments_smoke(env, tmp_path):
     cfg = _tiny_cfg(env=env)
     cfg.TRAIN.NUM_STEPS = 3
@@ -255,3 +255,22 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
     state2 = init_train_state(cfg2, model2, jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         load_checkpoint(tmp_path / "ck", state2)
+
+
+
+def test_listakm_training_smoke(tmp_path):
+    """LISTAKM (lista preset, scaled down) trains end-to-end."""
+    cfg = get_config("lista")
+    cfg.ENV.ENV_NAME = "duffing"
+    cfg.MODEL.TARGET_SIZE = 32
+    cfg.MODEL.ENCODER.LISTA.NUM_LOOPS = 3
+    cfg.MODEL.ENCODER.LISTA.L = 1.0
+    cfg.MODEL.ENCODER.LISTA.ALPHA = 0.01
+    cfg.TRAIN.NUM_STEPS = 4
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.TRAIN.EVAL_INTERVAL = 3
+    cfg.TRAIN.USE_SEQUENCE_LOSS = True
+    cfg.TRAIN.SEQUENCE_LENGTH = 4
+    state, model, run_dir = train(cfg, log_dir=str(tmp_path), verbose=False)
+    assert int(state["step"]) == 4
+    assert "lista" in state["params"] and "dict" in state["params"]
