@@ -306,31 +306,36 @@ def make_backtester(
     )
 
     t_len = all_returns.shape[0]
-
-    def scan_body(carry, t):
-        value, weights, warm = carry
-        target, warm = strategy.rebalance(aux, t, weights, warm)
-        has_next = t + 1 < t_len
-        realized = all_returns[jnp.minimum(t + 1, t_len - 1)]
-        value, new_weights, port_ret, turnover, cost = _market_step(
-            value, weights, target, realized, has_next, config.COST_COEFF
-        )
-        out = {
-            "portfolio_value": value,
-            "return": port_ret,
-            "turnover": turnover,
-            "cost": cost,
-            "weights": target,
-        }
-        return (value, new_weights, warm), out
-
     ts_j = jnp.asarray(ts)
 
+    # aux/returns enter as ARGUMENTS: arrays captured in a jit closure are
+    # embedded into the program as constants, which bloats the executable
+    # (and exceeds remote-compile payload limits at 500-asset scale).
     @jax.jit
-    def run():
+    def _run(aux_arg, returns_arg):
+        def scan_body(carry, t):
+            value, weights, warm = carry
+            target, warm = strategy.rebalance(aux_arg, t, weights, warm)
+            has_next = t + 1 < t_len
+            realized = returns_arg[jnp.minimum(t + 1, t_len - 1)]
+            value, new_weights, port_ret, turnover, cost = _market_step(
+                value, weights, target, realized, has_next, config.COST_COEFF
+            )
+            out = {
+                "portfolio_value": value,
+                "return": port_ret,
+                "turnover": turnover,
+                "cost": cost,
+                "weights": target,
+            }
+            return (value, new_weights, warm), out
+
         init = (jnp.asarray(config.INITIAL_CAPITAL, jnp.float32), w0, warm0)
         (_, _, _), history = jax.lax.scan(scan_body, init, ts_j)
         return history
+
+    def run():
+        return _run(aux, all_returns)
 
     return run, ts
 
@@ -405,9 +410,9 @@ def make_parallel_backtester(
         aux,
     )
 
-    def sweep(pre_trade_guess):
+    def sweep(aux_arg, returns_arg, pre_trade_guess):
         # 1. Batched rebalance for every date given guessed weights.
-        targets = strategy.rebalance_all(aux_t, pre_trade_guess)   # [T, N]
+        targets = strategy.rebalance_all(aux_arg, pre_trade_guess)  # [T, N]
 
         # 2. Cheap wealth/drift recursion to recover implied pre-trade
         #    weights (sequential but trivially cheap: [N]-sized ops).
@@ -415,7 +420,7 @@ def make_parallel_backtester(
             value, weights = carry
             t, target = inp
             has_next = t + 1 < t_len
-            realized = all_returns[jnp.minimum(t + 1, t_len - 1)]
+            realized = returns_arg[jnp.minimum(t + 1, t_len - 1)]
             value, new_weights, port_ret, turnover, cost = _market_step(
                 value, weights, target, realized, has_next, config.COST_COEFF
             )
@@ -436,19 +441,24 @@ def make_parallel_backtester(
         _, out = jax.lax.scan(body, init, (ts_j, targets))
         return out
 
+    # aux/returns as ARGUMENTS (closure-captured device arrays would be
+    # embedded as program constants — prohibitive at 500-asset scale).
     @jax.jit
-    def run():
+    def _run(aux_arg, returns_arg):
         guess0 = jnp.full((T, n), 1.0 / n, dtype=jnp.float32)
 
         def sweep_body(guess, _):
-            return sweep(guess)["pre_trade"], None
+            return sweep(aux_arg, returns_arg, guess)["pre_trade"], None
 
         # num_sweeps - 1 guess refinements, then one final sweep for the
         # full history (all inside this one compiled program).
         guess, _ = jax.lax.scan(
             sweep_body, guess0, None, length=max(num_sweeps - 1, 0)
         )
-        return sweep(guess)
+        return sweep(aux_arg, returns_arg, guess)
+
+    def run():
+        return _run(aux_t, all_returns)
 
     return run, ts
 
