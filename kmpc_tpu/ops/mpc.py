@@ -48,7 +48,9 @@ import numpy as np
 from kmpc_tpu.ops.projections import (
     project_hyperplane_sum,
     project_simplex,
+    project_simplex_warm,
     prox_l1_in_ball,
+    prox_l1_in_ball_warm,
     soft_threshold,
 )
 
@@ -73,6 +75,14 @@ class MPCParams:
                               # objective (solution selection, not accuracy)
     restore_feasibility: bool = True  # exact turnover-cap restoration sweep
                               # after the iteration (outputs strictly feasible)
+    proj_warm_iters: int = 3  # Michelot/Newton sweeps per projection when the
+                              # threshold is warm-started from the previous
+                              # PDHG iteration (carried through the scan). The
+                              # iteration is Newton on a convex piecewise-linear
+                              # equation — globally convergent from any start —
+                              # so a warm start needs only a few sweeps instead
+                              # of the cold log2(n)-ish budget. 0 = cold
+                              # full-budget projections every iteration.
 
 
 def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
@@ -189,20 +199,41 @@ def solve_mpc_log_utility_batch(
     p0 = jnp.zeros_like(w0) if p_warm is None else p_warm
 
     rho = params.over_relax
+    warm = params.proj_warm_iters > 0 and not params.allow_short
+    th_shape = w0.shape[:-1] + (1,)
 
     def body(carry, _):
-        w, p = carry
+        w, p, th_w, th_p = carry
         port = jnp.sum(w * r, axis=-1, keepdims=True)
         grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
-        w_new = proj_primal(w - tau_p * (grad + _apply_Dt(p)))
+        v = w - tau_p * (grad + _apply_Dt(p))
+        if warm:
+            # Thresholds warm-started from the previous iteration: the
+            # Michelot/Newton solve needs only a few sweeps because v
+            # moves O(tau_p * grad) per PDHG step (see projections.py).
+            w_new, th_w = project_simplex_warm(
+                v, 1.0, th_w, params.proj_warm_iters
+            )
+        else:
+            w_new = proj_primal(v)
         w_bar = 2.0 * w_new - w
-        p_new = prox_phi_conj(p + sigma * _apply_D(w_bar, w_init), sigma)
+        q = p + sigma * _apply_D(w_bar, w_init)
+        if warm and use_ball:
+            inner, th_p = prox_l1_in_ball_warm(
+                q / sigma, c / sigma, tau_to, th_p, params.proj_warm_iters
+            )
+            p_new = q - sigma * inner
+        else:
+            p_new = prox_phi_conj(q, sigma)
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
             p_new = p + rho * (p_new - p)
-        return (w_new, p_new), None
+        return (w_new, p_new, th_w, th_p), None
 
-    (w, p), _ = jax.lax.scan(body, (w0, p0), None, length=params.max_iters)
+    th0 = jnp.zeros(th_shape, dtype)
+    (w, p, _, _), _ = jax.lax.scan(
+        body, (w0, p0, th0, th0), None, length=params.max_iters
+    )
 
     # One extra primal step to measure the fixed-point residual.
     port = jnp.sum(w * r, axis=-1, keepdims=True)

@@ -36,17 +36,28 @@ def _michelot_iters_for(n: int) -> int:
     return 16
 
 
-def _simplex_threshold(v: jax.Array, radius: float, num_iters: int | None = None) -> jax.Array:
+def _simplex_threshold(
+    v: jax.Array,
+    radius: float,
+    num_iters: int | None = None,
+    theta0: jax.Array | None = None,
+) -> jax.Array:
     """Threshold theta* with sum(max(v - theta*, 0)) == radius, via the
     sort-free Michelot fixed-point iteration:
 
         theta_{k+1} = (sum_{i in S_k} v_i - radius) / |S_k|,
         S_k = {i : v_i > theta_k},  theta_0 = (sum v - radius)/n.
 
-    theta is monotonically non-decreasing and converges FINITELY (the
-    active set only shrinks, at most n times), so a fixed ``num_iters``
-    >= the worst active-set path length is exact. Every step is a
-    mask + two sums — pure VPU work, no sorts; XLA's TPU sort (the
+    This iteration is exactly Newton's method on the convex, decreasing,
+    piecewise-linear g(theta) = sum_i max(v_i - theta, 0) - radius (whose
+    derivative is -|S|): from ANY starting theta the first step lands at
+    the zero of a tangent line, which convexity places at <= theta*, and
+    from below convergence is monotone and FINITE (the active set only
+    shrinks, at most n times). A fixed ``num_iters`` >= the worst
+    active-set path length is therefore exact, and a warm ``theta0``
+    (e.g. the previous outer-iteration threshold in a PDHG loop, where v
+    moves O(step) per iteration) converges in 2-4 sweeps. Every step is
+    a mask + two sums — pure VPU work, no sorts; XLA's TPU sort (the
     classical Held/Duchi projection) is dramatically slower.
 
     Returns theta with shape v.shape[:-1] + (1,).
@@ -61,17 +72,54 @@ def _simplex_threshold(v: jax.Array, radius: float, num_iters: int | None = None
     vmax = jnp.max(v, axis=-1, keepdims=True)
     vc = v - vmax
 
-    theta = (jnp.sum(vc, axis=-1, keepdims=True) - radius) / n
+    if theta0 is None:
+        theta = (jnp.sum(vc, axis=-1, keepdims=True) - radius) / n
+    else:
+        theta = theta0 - vmax
 
     def body(_, theta):
         active = vc > theta
         count = jnp.sum(active, axis=-1, keepdims=True).astype(v.dtype)
         s = jnp.sum(jnp.where(active, vc, 0.0), axis=-1, keepdims=True)
-        # count >= 1 always: the max element stays active for theta < max(v).
+        # count >= 1 unless the warm theta started above max(v); the
+        # clamp makes that first Newton step finite, after which the
+        # max element is active again.
         return (s - radius) / jnp.maximum(count, 1.0)
 
     theta = jax.lax.fori_loop(0, num_iters, body, theta)
     return theta + vmax
+
+
+def project_simplex_warm(
+    v: jax.Array,
+    radius: float,
+    theta0: jax.Array,
+    num_iters: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Warm-started simplex projection: returns (w, theta) so an outer
+    fixed-point loop (PDHG) can carry theta between iterations and run
+    Michelot/Newton for only a few sweeps per projection."""
+    theta = _simplex_threshold(v, radius, num_iters=num_iters, theta0=theta0)
+    return jnp.maximum(v - theta, 0.0), theta
+
+
+def prox_l1_in_ball_warm(
+    v: jax.Array,
+    shrink_t,
+    radius: float,
+    theta0: jax.Array,
+    num_iters: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Warm-started prox of t*c*||u||_1 + indicator(||u||_1 <= radius);
+    returns (u, theta) with theta the (unclamped) ball threshold for the
+    next warm start. Matches prox_l1_in_ball exactly at convergence."""
+    s = soft_threshold(v, shrink_t)
+    a = jnp.abs(s)
+    l1 = jnp.sum(a, axis=-1, keepdims=True)
+    theta = _simplex_threshold(a, radius, num_iters=num_iters, theta0=theta0)
+    projected = jnp.sign(s) * jnp.maximum(a - jnp.maximum(theta, 0.0), 0.0)
+    out = jnp.where(l1 <= radius, s, projected)
+    return out, theta
 
 
 def project_simplex(v: jax.Array, radius: float = 1.0) -> jax.Array:

@@ -31,7 +31,9 @@ from kmpc_tpu.ops.mpc import MPCParams, _apply_D, _apply_Dt
 from kmpc_tpu.ops.projections import (
     project_hyperplane_sum,
     project_simplex,
+    project_simplex_warm,
     prox_l1_in_ball,
+    prox_l1_in_ball_warm,
     soft_threshold,
 )
 from kmpc_tpu.ops.rollout import predict_returns
@@ -146,14 +148,33 @@ def solve_mpc_log_utility_scenarios(
     w0 = jnp.broadcast_to(proj_primal(w_init)[..., None, :], target_shape).astype(dtype)
     p0 = jnp.zeros_like(w0)
 
-    def body(carry, _):
-        w, p = carry
-        w_new = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
-        w_bar = 2.0 * w_new - w
-        p_new = prox_phi_conj(p + sigma * _apply_D(w_bar, w_init), sigma)
-        return (w_new, p_new), None
+    warm = params.proj_warm_iters > 0 and not params.allow_short
 
-    (w, p), _ = jax.lax.scan(body, (w0, p0), None, length=params.max_iters)
+    def body(carry, _):
+        w, p, th_w, th_p = carry
+        v = w - tau_p * (grad_g(w) + _apply_Dt(p))
+        if warm:
+            # Warm-started Michelot/Newton thresholds (see ops/mpc.py).
+            w_new, th_w = project_simplex_warm(
+                v, 1.0, th_w, params.proj_warm_iters
+            )
+        else:
+            w_new = proj_primal(v)
+        w_bar = 2.0 * w_new - w
+        q = p + sigma * _apply_D(w_bar, w_init)
+        if warm and use_ball:
+            inner, th_p = prox_l1_in_ball_warm(
+                q / sigma, c / sigma, tau_to, th_p, params.proj_warm_iters
+            )
+            p_new = q - sigma * inner
+        else:
+            p_new = prox_phi_conj(q, sigma)
+        return (w_new, p_new, th_w, th_p), None
+
+    th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)
+    (w, p, _, _), _ = jax.lax.scan(
+        body, (w0, p0, th0, th0), None, length=params.max_iters
+    )
 
     w_last = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
