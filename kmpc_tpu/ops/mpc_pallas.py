@@ -20,8 +20,8 @@ per-op parallelism, not memory traffic, is the binding constraint at
 these sizes (the XLA loop body already stays fused in VMEM). The known
 fix is lane-packing 4 problems x 32 assets per 128-lane row (quadruples
 VPU utilization and removes the padding waste); until that lands, use
-``solve_mpc_log_utility_batch`` — it exceeds the 10k solves/s/chip
-target by ~5x on its own.
+``solve_mpc_log_utility_batch`` — with warm-started projection
+thresholds it exceeds the 10k solves/s/chip target by ~9.6x on its own.
 """
 
 from __future__ import annotations

@@ -8,7 +8,9 @@ from kmpc_tpu.ops.projections import (
     project_hyperplane_sum,
     project_l1_ball,
     project_simplex,
+    project_simplex_warm,
     prox_l1_in_ball,
+    prox_l1_in_ball_warm,
     soft_threshold,
 )
 
@@ -104,6 +106,49 @@ def test_hyperplane_projection():
     # Projection moves along the normal only.
     diff = np.asarray(v) - w
     assert np.allclose(diff - diff.mean(-1, keepdims=True), 0.0, atol=1e-6)
+
+
+def test_simplex_warm_matches_cold_from_any_start():
+    """The Michelot threshold step is Newton on a convex piecewise-linear
+    equation: one step from ANY theta0 lands at <= theta*, then converges
+    monotonically — so a warm start with a small sweep budget must match
+    the cold full-budget projection."""
+    v = _rand((32, 13), seed=10, scale=3.0)
+    w_cold = np.asarray(project_simplex(v))
+    for theta0 in (
+        jnp.zeros((32, 1)),
+        jnp.full((32, 1), -100.0),
+        jnp.full((32, 1), +100.0),  # above max(v): clamp path, then recover
+    ):
+        w_warm, theta = project_simplex_warm(v, 1.0, theta0, 6)
+        assert np.allclose(np.asarray(w_warm), w_cold, atol=1e-5)
+        assert theta.shape == (32, 1)
+
+
+def test_simplex_warm_sequence_tracks_moving_input():
+    """Carrying theta across slowly-moving inputs (the PDHG setting) stays
+    exact with very few sweeps."""
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((16, 10)), jnp.float32)
+    # Converge theta once (cold budget), then track with 2 sweeps.
+    _, theta = project_simplex_warm(v, 1.0, jnp.zeros((16, 1), jnp.float32), 12)
+    for step in range(20):
+        v = v + jnp.asarray(rng.standard_normal((16, 10)) * 0.01, jnp.float32)
+        w_warm, theta = project_simplex_warm(v, 1.0, theta, 2)
+        w_cold = np.asarray(project_simplex(v))
+        assert np.allclose(np.asarray(w_warm), w_cold, atol=1e-5), step
+
+
+def test_prox_l1_in_ball_warm_matches_cold():
+    v = _rand((24, 9), seed=11, scale=1.5)
+    cold = np.asarray(prox_l1_in_ball(v, 0.1, 0.5))
+    warm, theta = prox_l1_in_ball_warm(v, 0.1, 0.5, jnp.zeros((24, 1)), 6)
+    assert np.allclose(np.asarray(warm), cold, atol=1e-5)
+    # Inside-ball inputs: identity after shrink, any carried theta is fine.
+    small = v * 0.01
+    cold2 = np.asarray(prox_l1_in_ball(small, 0.001, 10.0))
+    warm2, _ = prox_l1_in_ball_warm(small, 0.001, 10.0, theta, 2)
+    assert np.allclose(np.asarray(warm2), cold2, atol=1e-6)
 
 
 def test_projections_jit_and_grad_safe():
