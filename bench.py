@@ -179,6 +179,71 @@ def bench_backtest(reps, n_dates=4096, n_assets=30, sweeps=8):
     }
 
 
+def bench_scaling(batch, iters, reps, n_devices=8):
+    """SPMD partitioning-overhead check on a virtual CPU mesh.
+
+    One physical machine hosts ``n_devices`` virtual XLA devices, so a
+    (data, scenario)-sharded solve does the SAME total work on the SAME
+    cores as the unsharded solve; wall-clock parity therefore means the
+    mesh partitioning + scatter/gather add ~zero overhead, which is the
+    single-host proxy available for the >=80%-scaling-efficiency target
+    (real ICI scaling needs a pod; see kmpc_tpu/parallel/distributed.py).
+    Must be invoked before any other mode touches the TPU backend.
+    """
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+    from kmpc_tpu.parallel.mesh import make_mesh, sharded_mpc_solver
+
+    H, N = 5, 30
+    params = MPCParams(max_iters=iters, sigma_scale=2.0)
+    rng = np.random.default_rng(0)
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=batch), jnp.float32)
+    ys = jnp.asarray(
+        rng.standard_normal((batch, H, N)) * 0.01 + 0.0005, jnp.float32
+    )
+
+    def time_solve(solve):
+        w, info = solve(cw, ys)
+        float(jnp.sum(w))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            w, _ = solve(cw, ys)
+            float(jnp.sum(w))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    single = jax.jit(
+        lambda a, b: solve_mpc_log_utility_batch(a, b, params)
+    )
+    t1 = time_solve(single)
+
+    mesh = make_mesh({"data": 2, "scenario": n_devices // 2, "model": 1})
+    t8 = time_solve(sharded_mpc_solver(mesh, params))
+
+    return {
+        "value": t1 / t8,  # >= ~1.0 == no partitioning overhead
+        "unsharded_time_s": round(t1, 4),
+        "sharded_time_s": round(t8, 4),
+        "n_virtual_devices": n_devices,
+        "mesh": "data=2,scenario=%d,model=1" % (n_devices // 2),
+        "batch": batch,
+        "pdhg_iters": iters,
+        "note": "virtual CPU mesh: same cores do the work either way; "
+                "ratio ~1.0 means SPMD partitioning adds no overhead",
+    }
+
+
 def bench_train(reps):
     import jax
     import jax.numpy as jnp
@@ -215,7 +280,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", type=str, default="mpc",
                     choices=["mpc", "long", "scenario", "assets500", "train",
-                             "backtest"])
+                             "backtest", "scaling"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
@@ -247,13 +312,18 @@ def main():
         # Reference: ~1 sequential ECOS solve per date on CPU, O(10-100ms)
         # each -> O(10-100) dates/s; use 100/s as the generous baseline.
         baseline = 100.0
+    elif args.mode == "scaling":
+        res = bench_scaling(args.batch or 4096, args.iters, args.reps)
+        metric = "spmd_partitioning_efficiency_virtual8_cpu_mesh"
+        baseline = 0.8  # >=80% scaling-efficiency north star (proxy)
     else:  # train
         res = bench_train(args.reps)
         metric = "finance_sparse_train_steps_per_s"
         baseline = 1.0  # no reference number; report raw
 
     value = res.pop("value")
-    units = {"train": "steps/s", "backtest": "dates/s"}
+    units = {"train": "steps/s", "backtest": "dates/s",
+             "scaling": "ratio"}
     out = {
         "metric": metric,
         "value": round(value, 1),
