@@ -126,6 +126,28 @@ def _apply_Dt(p: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def restore_turnover_feasibility(
+    w: jax.Array, w_init: jax.Array, max_turnover: float
+) -> jax.Array:
+    """Exact turnover restoration: pull each horizon step onto the cap
+    along the segment to the previous (restored) row. A convex
+    combination of two simplex points stays on the simplex, so after
+    this sweep EVERY constraint holds exactly — a hard guarantee the
+    reference's interior-point solves only approximate
+    ("optimal_inaccurate"). Objective impact is O(residual slack)."""
+
+    def restore(prev, wt):
+        ut = wt - prev
+        l1 = jnp.sum(jnp.abs(ut), axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, max_turnover / jnp.maximum(l1, 1e-12))
+        new = prev + scale * ut
+        return new, new
+
+    w_T = jnp.moveaxis(w, -2, 0)                       # [H, ..., N]
+    _, w_restored = jax.lax.scan(restore, w_init, w_T)
+    return jnp.moveaxis(w_restored, 0, -2)
+
+
 def _log_utility_objective(w, r, w_init, cost_coeff):
     """Reference objective value (maximization form, reference: mpc.py:74-103)."""
     port = jnp.sum(w * r, axis=-1)                       # [..., H]
@@ -247,24 +269,8 @@ def solve_mpc_log_utility_batch(
             jnp.maximum(jnp.sum(jnp.abs(u), axis=-1) - tau_to, 0.0), axis=-1
         )
         if params.restore_feasibility:
-            # Exact turnover restoration: pull each step onto the cap along
-            # the segment to the previous (restored) row. A convex
-            # combination of two simplex points stays on the simplex, so
-            # after this sweep EVERY constraint holds exactly — a hard
-            # guarantee the reference's interior-point solves only
-            # approximate ("optimal_inaccurate"). Objective impact is
-            # O(residual slack): the move shrinks an already-small
-            # infeasibility. to_viol above reports the pre-restoration slack.
-            def restore(prev, wt):
-                ut = wt - prev
-                l1 = jnp.sum(jnp.abs(ut), axis=-1, keepdims=True)
-                scale = jnp.minimum(1.0, tau_to / jnp.maximum(l1, 1e-12))
-                new = prev + scale * ut
-                return new, new
-
-            w_T = jnp.moveaxis(w_last, -2, 0)          # [H, ..., N]
-            _, w_restored = jax.lax.scan(restore, w_init, w_T)
-            w_last = jnp.moveaxis(w_restored, 0, -2)
+            # to_viol above reports the pre-restoration slack.
+            w_last = restore_turnover_feasibility(w_last, w_init, tau_to)
     else:
         to_viol = jnp.zeros(w_last.shape[:-2], dtype)
 
