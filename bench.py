@@ -248,21 +248,30 @@ def bench_scaling(batch, iters, reps, n_devices=8):
     }
 
 
-def bench_train(reps):
+def bench_train(reps, fused_steps=50):
+    """finance_sparse training throughput: single-dispatch step (bounded
+    by the ~30 ms relay latency here) and the fused multi-step program
+    (STEPS_PER_DISPATCH; amortizes dispatch latency, identical numerics
+    — tests/test_train.py proves bit-parity)."""
     import jax
     import jax.numpy as jnp
 
     from kmpc_tpu.config import get_config
     from kmpc_tpu.models import make_model
-    from kmpc_tpu.train.loop import init_train_state, make_train_step
+    from kmpc_tpu.train.loop import (
+        init_train_state,
+        make_fused_finance_train_steps,
+        make_train_step,
+    )
 
     cfg = get_config("finance_sparse")
     obs = len(cfg.ENV.FINANCE.TICKERS) * cfg.ENV.FINANCE.EMBEDDING_DIM  # 400
     model = make_model(cfg, obs)
-    state = init_train_state(cfg, model, jax.random.PRNGKey(0))
-    step = make_train_step(cfg, model, dt=1.0)
     B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.SEQUENCE_LENGTH
 
+    # Single-dispatch step.
+    state = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, model, dt=1.0)
     x = jax.random.normal(jax.random.PRNGKey(1), (B, T + 1, obs), jnp.float32)
     state, metrics = step(state, x)
     float(metrics["loss"])
@@ -272,11 +281,31 @@ def bench_train(reps):
         state, metrics = step(state, x)
         float(metrics["loss"])
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    best_single = min(times)
+
+    # Fused multi-step program (synthetic standardized "returns" panel).
+    data = jax.random.normal(jax.random.PRNGKey(2), (4096, obs), jnp.float32)
+    state = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    fused = make_fused_finance_train_steps(cfg, model, fused_steps)
+    state, metrics = fused(state, jax.random.PRNGKey(3), 0, data)
+    float(metrics["loss"])
+    times = []
+    start = fused_steps
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, metrics = fused(state, jax.random.PRNGKey(3), start, data)
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+        start += fused_steps
+    best_fused = min(times) / fused_steps
+
     return {
-        "value": 1.0 / best,
-        "unit_note": "train steps/s (finance_sparse: B=64, obs=400, z=1024, T=10)",
-        "best_step_time_s": round(best, 5),
+        "value": 1.0 / best_fused,
+        "unit_note": "train steps/s (finance_sparse: B=64, obs=400, z=1024, "
+                     f"T=10; fused {fused_steps} steps/dispatch)",
+        "best_fused_step_time_s": round(best_fused, 5),
+        "single_dispatch_steps_per_s": round(1.0 / best_single, 1),
+        "best_single_step_time_s": round(best_single, 5),
     }
 
 

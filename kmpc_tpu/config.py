@@ -171,6 +171,13 @@ class TrainConfig:
     DTYPE: str = "float32"          # param/compute dtype: float32|bfloat16
     EVAL_INTERVAL: int = 500
     LOG_INTERVAL: int = 100
+    STEPS_PER_DISPATCH: int = 1     # fuse K optimizer steps into ONE compiled
+                                    # program (lax.scan over steps, on-device
+                                    # batch sampling). Amortizes the ~30 ms
+                                    # per-dispatch relay latency; identical
+                                    # RNG stream / numerics to K=1. Ignored
+                                    # (forced to 1) when a PARALLEL mesh
+                                    # shards batches host-side.
 
 
 # ---------------------------------------------------------------------------

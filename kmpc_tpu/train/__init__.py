@@ -5,6 +5,8 @@ from kmpc_tpu.train.loop import (
     evaluate_finance,
     evaluate_system,
     init_train_state,
+    make_fused_finance_train_steps,
+    make_fused_system_train_steps,
     make_system_train_step,
     make_train_step,
     train,
@@ -17,6 +19,8 @@ __all__ = [
     "evaluate_finance",
     "evaluate_system",
     "init_train_state",
+    "make_fused_finance_train_steps",
+    "make_fused_system_train_steps",
     "make_system_train_step",
     "make_train_step",
     "train",

@@ -172,6 +172,114 @@ def make_system_train_step(cfg: Config, model: KoopmanModel, system: DynamicalSy
     return train_step
 
 
+def make_fused_finance_train_steps(cfg: Config, model: KoopmanModel, num_inner: int):
+    """ONE compiled program running ``num_inner`` optimizer steps.
+
+    Each inner step re-derives its batch key as ``fold_in(data_key, s)``
+    and samples windows on-device exactly like FinanceData.sample_batch,
+    so the parameter trajectory is bit-identical to ``num_inner``
+    separate dispatches — only the ~30 ms/dispatch relay latency is
+    amortized. Training data is an ARGUMENT (device-resident, no copy),
+    not a closure constant.
+
+    Returns fused(state, data_key, start_step, train_data) ->
+    (state, metrics-of-last-inner-step).
+    """
+    tx = build_optimizer(cfg, None)
+    use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
+    B = cfg.TRAIN.BATCH_SIZE
+    L = cfg.TRAIN.SEQUENCE_LENGTH if use_seq else 1
+
+    def loss_fn(params, batch):
+        if use_seq:
+            return model.loss_sequence(params, batch, 1.0)
+        x, nx = batch
+        return model.loss(params, x, nx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused(state, data_key, start_step, train_data):
+        n = train_data.shape[0] - L
+
+        def body(st, s):
+            bkey = jax.random.fold_in(data_key, s)
+            starts = jax.random.randint(bkey, (B,), 0, n)
+            idx = starts[:, None] + jnp.arange(L + 1)[None, :]
+            win = train_data[idx]
+            batch = win if use_seq else (win[:, 0], win[:, 1])
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st["params"], batch
+            )
+            updates, opt_state = tx.update(grads, st["opt_state"], st["params"])
+            params = optax.apply_updates(st["params"], updates)
+            return (
+                {"params": params, "opt_state": opt_state, "step": st["step"] + 1},
+                metrics,
+            )
+
+        state, ms = jax.lax.scan(body, state, start_step + jnp.arange(num_inner))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return fused
+
+
+def make_fused_system_train_steps(
+    cfg: Config, model: KoopmanModel, system: DynamicalSystem, num_inner: int
+):
+    """Fused multi-step variant of make_system_train_step: data synthesis
+    (vmapped reset + RK4 scan) AND ``num_inner`` optimizer steps in one
+    program; per-step keys are fold_in(data_key, s), matching the
+    unfused loop's stream exactly."""
+    tx = build_optimizer(cfg, None)
+    use_seq = cfg.TRAIN.USE_SEQUENCE_LOSS
+    dt = system.dt
+    B = cfg.TRAIN.BATCH_SIZE
+    T = cfg.TRAIN.SEQUENCE_LENGTH
+
+    def loss_fn(params, key):
+        if use_seq:
+            seq = system.sequence_batch(key, B, T)
+            return model.loss_sequence(params, seq, dt)
+        x = system.reset(key, B)
+        nx = system.step(x)
+        return model.loss(params, x, nx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused(state, data_key, start_step):
+        def body(st, s):
+            skey = jax.random.fold_in(data_key, s)
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                st["params"], skey
+            )
+            updates, opt_state = tx.update(grads, st["opt_state"], st["params"])
+            params = optax.apply_updates(st["params"], updates)
+            return (
+                {"params": params, "opt_state": opt_state, "step": st["step"] + 1},
+                metrics,
+            )
+
+        state, ms = jax.lax.scan(body, state, start_step + jnp.arange(num_inner))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return fused
+
+
+def _dispatch_chunks(start: int, num_steps: int, spd: int, intervals):
+    """Yield (step, chunk) so that every step where the loop logs,
+    evaluates, or checkpoints (multiples of the intervals, and the final
+    step) lands exactly at a chunk END — the fused program returns the
+    last inner step's metrics, so boundary steps keep their per-step
+    metrics identical to the unfused loop."""
+    last = num_steps - 1
+    step = start
+    while step < num_steps:
+        nb = last
+        for k in intervals:
+            nb = min(nb, ((step + k - 1) // k) * k)
+        chunk = min(spd, nb - step + 1, num_steps - step)
+        yield step, chunk
+        step += chunk
+
+
 # ---------------------------------------------------------------------------
 # Evaluation helpers (reference: train.py:191-300)
 # ---------------------------------------------------------------------------
@@ -347,13 +455,29 @@ def train_finance(
         print(f"Steps: {cfg.TRAIN.NUM_STEPS}  Batch: {cfg.TRAIN.BATCH_SIZE}")
         print(f"Run dir: {run_dir}")
 
+    # Fused multi-step dispatch (no-op at STEPS_PER_DISPATCH=1; forced
+    # off under a PARALLEL mesh, whose batches are sharded host-side).
+    spd = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+    if mesh is not None:
+        spd = 1
+    fused_cache: Dict[int, Any] = {}
+
+    def run_steps(state, step, chunk):
+        if spd == 1 or chunk == 1:
+            bkey = jax.random.fold_in(data_key, step)
+            win = fd.sample_batch(bkey, "train", cfg.TRAIN.BATCH_SIZE, L)
+            batch = shard(win) if use_seq else shard((win[:, 0], win[:, 1]))
+            return train_step(state, batch)
+        if chunk not in fused_cache:
+            fused_cache[chunk] = make_fused_finance_train_steps(cfg, model, chunk)
+        return fused_cache[chunk](state, data_key, step, fd.train)
+
     best_val = float("inf")
     t0 = time.time()
-    for step in range(start_step, cfg.TRAIN.NUM_STEPS):
-        bkey = jax.random.fold_in(data_key, step)
-        win = fd.sample_batch(bkey, "train", cfg.TRAIN.BATCH_SIZE, L)
-        batch = shard(win) if use_seq else shard((win[:, 0], win[:, 1]))
-        state, metrics = train_step(state, batch)
+    intervals = (cfg.TRAIN.LOG_INTERVAL, cfg.TRAIN.EVAL_INTERVAL)
+    for step0, chunk in _dispatch_chunks(start_step, cfg.TRAIN.NUM_STEPS, spd, intervals):
+        state, metrics = run_steps(state, step0, chunk)
+        step = step0 + chunk - 1  # metrics describe the chunk's last step
 
         if step % cfg.TRAIN.LOG_INTERVAL == 0:
             host = {k: float(v) for k, v in metrics.items()}
@@ -494,9 +618,25 @@ def train_system(
     eval_key = jax.random.fold_in(key, 999)
     eval_x0 = system.reset(eval_key, batch_size=4)
 
-    for step in range(start_step, cfg.TRAIN.NUM_STEPS):
-        skey = jax.random.fold_in(data_key, step)
-        state, metrics = train_step(state, skey)
+    spd = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+    if mesh is not None:
+        spd = 1
+    fused_cache: Dict[int, Any] = {}
+
+    def run_steps(state, step, chunk):
+        if spd == 1 or chunk == 1:
+            skey = jax.random.fold_in(data_key, step)
+            return train_step(state, skey)
+        if chunk not in fused_cache:
+            fused_cache[chunk] = make_fused_system_train_steps(
+                cfg, model, system, chunk
+            )
+        return fused_cache[chunk](state, data_key, step)
+
+    intervals = (cfg.TRAIN.LOG_INTERVAL, cfg.TRAIN.EVAL_INTERVAL)
+    for step0, chunk in _dispatch_chunks(start_step, cfg.TRAIN.NUM_STEPS, spd, intervals):
+        state, metrics = run_steps(state, step0, chunk)
+        step = step0 + chunk - 1
 
         if step % cfg.TRAIN.LOG_INTERVAL == 0:
             host = {k: float(v) for k, v in metrics.items()}

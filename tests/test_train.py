@@ -17,10 +17,13 @@ from kmpc_tpu.data.finance import load_finance_data
 from kmpc_tpu.data.systems import make_system
 from kmpc_tpu.models import make_model
 from kmpc_tpu.train.loop import (
+    _dispatch_chunks,
     build_optimizer,
     evaluate_finance,
     evaluate_system,
     init_train_state,
+    make_fused_finance_train_steps,
+    make_fused_system_train_steps,
     make_system_train_step,
     make_train_step,
     train,
@@ -115,6 +118,92 @@ def test_fused_system_train_step_runs_and_learns():
         assert np.isfinite(float(metrics["loss"]))
     loss_after = float(model.loss_sequence(state["params"], eval_seq)[0])
     assert loss_after < loss_before
+
+
+def test_fused_multi_step_matches_sequential_system():
+    """make_fused_system_train_steps(K) must reproduce K separate
+    dispatches exactly (same fold_in key stream)."""
+    cfg = _tiny_cfg(seq=True)
+    system = make_system(cfg)
+    model = make_model(cfg, system.observation_size)
+    data_key = jax.random.PRNGKey(3)
+
+    state_a = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    step_fn = make_system_train_step(cfg, model, system)
+    for s in range(5):
+        state_a, m_a = step_fn(state_a, jax.random.fold_in(data_key, s))
+
+    state_b = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    fused = make_fused_system_train_steps(cfg, model, system, 5)
+    state_b, m_b = fused(state_b, data_key, 0, )
+
+    for la, lb in zip(jax.tree.leaves(state_a["params"]),
+                      jax.tree.leaves(state_b["params"])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+    # Returned metrics are the LAST inner step's.
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), atol=1e-6)
+    assert int(state_b["step"]) == 5
+
+
+def test_fused_multi_step_matches_sequential_finance():
+    cfg = _tiny_finance_cfg()
+    fd = load_finance_data(cfg)
+    model = make_model(cfg, fd.observation_size)
+    data_key = jax.random.PRNGKey(4)
+    L = cfg.TRAIN.SEQUENCE_LENGTH if cfg.TRAIN.USE_SEQUENCE_LOSS else 1
+
+    state_a = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, model, dt=1.0)
+    for s in range(4):
+        win = fd.sample_batch(jax.random.fold_in(data_key, s), "train",
+                              cfg.TRAIN.BATCH_SIZE, L)
+        batch = win if cfg.TRAIN.USE_SEQUENCE_LOSS else (win[:, 0], win[:, 1])
+        state_a, m_a = step_fn(state_a, batch)
+
+    state_b = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    fused = make_fused_finance_train_steps(cfg, model, 4)
+    state_b, m_b = fused(state_b, data_key, 0, fd.train)
+
+    for la, lb in zip(jax.tree.leaves(state_a["params"]),
+                      jax.tree.leaves(state_b["params"])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), atol=1e-6)
+
+
+def test_dispatch_chunks_hit_boundaries():
+    """Every log/eval-boundary step must end a chunk, chunks cover
+    [start, num_steps) exactly, and no chunk exceeds spd."""
+    for (start, num, spd, ivals) in [
+        (0, 23, 5, (4, 10)),
+        (0, 100, 50, (100, 500)),
+        (7, 61, 8, (10, 25)),
+        (0, 6, 1, (2, 5)),
+    ]:
+        chunks = list(_dispatch_chunks(start, num, spd, ivals))
+        steps = []
+        for s0, c in chunks:
+            assert 1 <= c <= spd
+            steps.extend(range(s0, s0 + c))
+        assert steps == list(range(start, num))
+        ends = {s0 + c - 1 for s0, c in chunks}
+        for s in range(start, num):
+            if any(s % k == 0 for k in ivals) or s == num - 1:
+                assert s in ends, (s, chunks)
+
+
+def test_train_finance_fused_dispatch_end_to_end(tmp_path):
+    """train_finance with STEPS_PER_DISPATCH>1 produces the same final
+    params as the per-step path (identical RNG stream)."""
+    cfg = _tiny_finance_cfg()
+    cfg.TRAIN.NUM_STEPS = 7
+    state_a, _, _ = train_finance(cfg, log_dir=str(tmp_path / "a"), verbose=False)
+    cfg2 = _tiny_finance_cfg()
+    cfg2.TRAIN.NUM_STEPS = 7
+    cfg2.TRAIN.STEPS_PER_DISPATCH = 3
+    state_b, _, _ = train_finance(cfg2, log_dir=str(tmp_path / "b"), verbose=False)
+    for la, lb in zip(jax.tree.leaves(state_a["params"]),
+                      jax.tree.leaves(state_b["params"])):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
 
 
 # ---------------------------------------------------------------------------

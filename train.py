@@ -42,6 +42,9 @@ def main():
                         help="force the CPU backend (e.g. for smoke tests)")
     parser.add_argument("--no_final_eval", action="store_true",
                         help="skip the post-training standardized evaluation suite")
+    parser.add_argument("--steps_per_dispatch", type=int, default=None,
+                        help="fuse K optimizer steps per device dispatch "
+                             "(identical numerics; amortizes dispatch latency)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -61,6 +64,8 @@ def main():
     cfg.TRAIN.NUM_STEPS = args.num_steps
     cfg.TRAIN.BATCH_SIZE = args.batch_size
     cfg.SEED = args.seed
+    if args.steps_per_dispatch is not None:
+        cfg.TRAIN.STEPS_PER_DISPATCH = args.steps_per_dispatch
     if args.lr is not None:
         cfg.TRAIN.LR = args.lr
     if args.target_size is not None:
