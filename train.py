@@ -23,8 +23,10 @@ def main():
         choices=["duffing", "pendulum", "lotka_volterra", "lorenz63",
                  "parabolic", "lyapunov", "finance"],
     )
-    parser.add_argument("--num_steps", type=int, default=20000)
-    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--num_steps", type=int, default=None,
+                        help="default: the preset's TRAIN.NUM_STEPS")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="default: the preset's TRAIN.BATCH_SIZE")
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--target_size", type=int, default=None)
@@ -61,8 +63,10 @@ def main():
     if args.config != "finance_sparse":
         cfg.ENV.ENV_NAME = args.env
 
-    cfg.TRAIN.NUM_STEPS = args.num_steps
-    cfg.TRAIN.BATCH_SIZE = args.batch_size
+    if args.num_steps is not None:
+        cfg.TRAIN.NUM_STEPS = args.num_steps
+    if args.batch_size is not None:
+        cfg.TRAIN.BATCH_SIZE = args.batch_size
     cfg.SEED = args.seed
     if args.steps_per_dispatch is not None:
         cfg.TRAIN.STEPS_PER_DISPATCH = args.steps_per_dispatch
