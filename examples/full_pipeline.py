@@ -54,7 +54,7 @@ def main():
     from kmpc_tpu.train.loop import (
         evaluate_finance,
         init_train_state,
-        make_train_step,
+        make_fused_finance_train_steps,
     )
 
     # ------------------------------------------------------------------ 1
@@ -70,17 +70,18 @@ def main():
           f"train/val/test = {fd.train.shape[0]}/{fd.val.shape[0]}/{fd.test.shape[0]}")
 
     # ------------------------------------------------------------------ 2
-    print(f"== 2. Train GenericKM (z={cfg.MODEL.TARGET_SIZE}) for {args.steps} steps")
+    print(f"== 2. Train GenericKM (z={cfg.MODEL.TARGET_SIZE}) for {args.steps} steps "
+          f"(fused multi-step dispatch)")
     model = make_model(cfg, fd.observation_size)
     state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
-    step_fn = make_train_step(cfg, model, dt=1.0)
+    chunk = max(args.steps // 5, 1)
+    fused = make_fused_finance_train_steps(cfg, model, chunk)
     key = jax.random.PRNGKey(1)
-    for step in range(args.steps):
-        batch = fd.sample_batch(jax.random.fold_in(key, step), "train",
-                                cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.SEQUENCE_LENGTH)
-        state, metrics = step_fn(state, batch)
-        if step % max(args.steps // 5, 1) == 0:
-            print(f"   step {step}: loss {float(metrics['loss']):.3f}")
+    step = 0
+    while step < args.steps:
+        state, metrics = fused(state, key, step, fd.train)
+        step += chunk
+        print(f"   step {step}: loss {float(metrics['loss']):.3f}")
     params = state["params"]
 
     # ------------------------------------------------------------------ 3
