@@ -126,10 +126,18 @@ def project_simplex(v: jax.Array, radius: float = 1.0) -> jax.Array:
     """Project v (trailing axis) onto {w : w >= 0, sum(w) = radius}.
 
     Sort-free Michelot threshold iteration (see _simplex_threshold);
-    broadcasts over arbitrary leading batch axes.
+    broadcasts over arbitrary leading batch axes. A final exact-sum
+    correction spreads the O(n * eps * |v|) float32 cancellation residual
+    (visible when |v| >> radius with many tied coordinates) over the
+    active set, so the returned sum is exact to ~1 ulp for ANY input.
     """
     theta = _simplex_threshold(v, radius)
-    return jnp.maximum(v - theta, 0.0)
+    w = jnp.maximum(v - theta, 0.0)
+    active = w > 0
+    count = jnp.sum(active, axis=-1, keepdims=True).astype(v.dtype)
+    s = jnp.sum(w, axis=-1, keepdims=True)
+    corr = (radius - s) / jnp.maximum(count, 1.0)
+    return jnp.maximum(jnp.where(active, w + corr, 0.0), 0.0)
 
 
 def soft_threshold(v: jax.Array, threshold) -> jax.Array:
@@ -153,6 +161,10 @@ def project_l1_ball(v: jax.Array, radius: float) -> jax.Array:
 
     theta = jnp.maximum(_simplex_threshold(a, radius), 0.0)
     projected = jnp.sign(v) * jnp.maximum(a - theta, 0.0)
+    # Multiplicative exact-radius correction for the float32 cancellation
+    # residual at |v| >> radius (sign-preserving, keeps feasibility hard).
+    s = jnp.sum(jnp.abs(projected), axis=-1, keepdims=True)
+    projected = projected * jnp.minimum(1.0, radius / jnp.maximum(s, 1e-30))
     return jnp.where(inside, v, projected)
 
 
