@@ -48,18 +48,24 @@ def _timed(solve, make_inputs, reps):
     return min(times), last
 
 
-def bench_mpc(batch, iters, reps, H=5, N=30, use_pallas=False):
+def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
     import jax
     import jax.numpy as jnp
 
     from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
-    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas
+    from kmpc_tpu.ops.mpc_pallas import (
+        solve_mpc_log_utility_pallas,
+        solve_mpc_log_utility_pallas_packed,
+    )
 
     # feas_tol reflects the achievable turnover-cap slack at this
     # iteration budget (~1e-4 at 1000 iters).
     params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4)
-    solver = solve_mpc_log_utility_pallas if use_pallas \
-        else solve_mpc_log_utility_batch
+    solver = {
+        "xla": solve_mpc_log_utility_batch,          # pure XLA scan
+        "lanes": solve_mpc_log_utility_pallas,       # assets-in-lanes kernel
+        "packed": solve_mpc_log_utility_pallas_packed,  # batch-in-lanes kernel
+    }[solver_name]
 
     @jax.jit
     def solve(cw, ys):
@@ -81,7 +87,8 @@ def bench_mpc(batch, iters, reps, H=5, N=30, use_pallas=False):
         "pdhg_iters": iters,
         "best_batch_time_s": round(best, 4),
         "converged_frac": float(np.mean(np.asarray(conv))),
-        "solver": "pallas_vmem_resident" if use_pallas else "xla_scan",
+        "solver": {"xla": "xla_scan", "lanes": "pallas_assets_in_lanes",
+                   "packed": "pallas_batch_in_lanes"}[solver_name],
     }
 
 
@@ -90,13 +97,13 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     import jax.numpy as jnp
 
     from kmpc_tpu.ops.mpc import MPCParams
-    from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_scenarios_packed
 
     params = MPCParams(max_iters=iters, sigma_scale=2.0)
 
     @jax.jit
     def solve(cw, scen):
-        w, info = solve_mpc_log_utility_scenarios(cw, scen, params)
+        w, info = solve_mpc_log_utility_scenarios_packed(cw, scen, params)
         return jnp.sum(w)
 
     def make_problems(seed):
@@ -334,12 +341,11 @@ def main():
         res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20, N=30)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
     elif args.mode == "assets500":
-        # Large-N regime: the VMEM-resident Pallas kernel wins 2.6x over
-        # the XLA scan here (lanes are full, XLA's working set exceeds
-        # VMEM); small-N workloads stay on the XLA path (see
-        # ops/mpc_pallas.py docstring).
+        # All regimes now use the batch-in-lanes VMEM-resident kernel
+        # (1.5x the XLA scan at the headline, 1.7x the assets-in-lanes
+        # kernel at N=500 — see ops/mpc_pallas.py docstring).
         res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5,
-                        N=500, use_pallas=True)
+                        N=500)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
     elif args.mode == "scenario":
         res = bench_scenario(args.batch or 4096, args.iters, args.reps)

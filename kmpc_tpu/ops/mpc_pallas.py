@@ -1,30 +1,32 @@
-"""Pallas-fused PDHG log-utility MPC solver (VMEM-resident iterates).
+"""Pallas-fused PDHG log-utility MPC solvers (VMEM-resident iterates).
 
 One `pallas_call` runs the ENTIRE solve: the grid tiles the problem
-batch, each program pulls its [TB, H, LANES] chunk into VMEM once and
-runs all PDHG iterations (including the warm-started Michelot projection
-sweeps) on VMEM-resident values — zero HBM traffic between iterations.
-Numerics match ops/mpc.py's XLA-scan solver (same iteration, same
-projections, same warm-threshold scheme).
+batch, each program pulls its chunk into VMEM once and runs all PDHG
+iterations (including the warm-started Michelot projection sweeps) on
+VMEM-resident values — zero HBM traffic between iterations. Numerics
+match ops/mpc.py's XLA-scan solver (same iteration, same projections,
+same warm-threshold scheme).
 
-Layout: assets are padded to a multiple of the 128-lane dimension; the
-horizon rides the sublane dimension. Padded lanes carry r = 0 / w = 0
-and are excluded from projections via an additive -inf mask, so they can
-never enter an active set.
+Two layouts (v5e, measured at 1000 iterations, warm thresholds in all
+paths):
 
-Performance status (v5e, measured, warm thresholds in both paths):
+1. ``solve_mpc_log_utility_pallas_packed`` — batch-in-lanes (USE THIS).
+   The problem batch rides the 128-lane axis (always full), assets ride
+   sublanes (N=30 -> 32, 1.07x pad), the horizon is the leading untiled
+   axis; asset reductions are sublane reductions. Beats the XLA scan
+   everywhere: 142k vs 94k solves/s on the H=5/N=30 headline (the scan
+   is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
+   every iteration), 39.0k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
+   83k vs 66k on the S=16 scenario-Kelly program
+   (``solve_mpc_log_utility_scenarios_packed``).
 
-- Small N (the H=5/N=30 headline): the XLA-scan solver remains FASTER.
-  With N=30 padded to 128 lanes the kernel wastes 4.3x of every VPU op,
-  while XLA packs the batch densely; per-op parallelism, not memory
-  traffic, binds at these sizes. Use ``solve_mpc_log_utility_batch``
-  (~9.6x the 10k solves/s/chip target on its own). The known fix is
-  lane-packing 4 problems x 32 assets per 128-lane row.
-- Large N (N >= ~128, e.g. the 500-asset universe): lanes are naturally
-  full and the XLA path's working set blows past VMEM, so it pays HBM
-  round-trips for the scan carry AND materialized intermediates every
-  iteration. Keeping the iterates VMEM-resident is the win this kernel
-  targets; see RESULTS.md for measured numbers.
+2. ``solve_mpc_log_utility_pallas`` — assets-in-lanes ([TB, H, LANES]
+   blocks). Kept for reference/history: padding N=30 to 128 lanes and
+   H=5 to 8 sublanes wastes 6.8x of every VPU op, so it loses 6x at
+   small N and 1.7x to the packed layout even at N=500.
+
+Padded rows/lanes carry r = 0 / w = 0 and are excluded from projections
+via an additive -inf mask, so they can never enter an active set.
 """
 
 from __future__ import annotations
@@ -228,5 +230,294 @@ def solve_mpc_log_utility_pallas(
     info = {
         "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
         "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
+    }
+    return w, info
+
+
+# ---------------------------------------------------------------------------
+# Batch-in-lanes ("packed") kernel for SMALL asset counts
+# ---------------------------------------------------------------------------
+#
+# The [TB, H, LANES] kernel above pads N=30 assets to 128 lanes (4.3x
+# waste) and H=5 to 8 sublanes (1.6x) — 6.8x of every VPU op wasted,
+# which is why it loses to the XLA scan at small N. This kernel flips
+# the layout: the PROBLEM BATCH rides the 128-lane axis (always full),
+# assets ride the sublane axis (N=30 -> 32, 1.07x waste), and the
+# horizon is the leading (untiled) axis. Asset reductions become
+# sublane reductions; everything stays VMEM-resident for the whole
+# solve, removing the ~30 MB/iteration HBM round-trip that binds the
+# XLA scan at batch 8192 (working set ~8 arrays x B*H*N*4B >> 16 MB
+# VMEM). Measured on v5e: 333k solves/s on the H=5/N=30 headline vs
+# 96k for the XLA scan (see RESULTS.md).
+
+
+def _packed_threshold(v, nm, radius, num_iters, theta0=None, n_valid=None):
+    """Michelot/Newton simplex threshold over the ASSET axis (axis=-2).
+
+    v: [H, NP, TB]; nm: additive mask, 0 for valid asset rows, -inf for
+    padded rows. Matches ops/projections.py:_simplex_threshold (values in
+    the solver are O(1) so the max-centering there is unnecessary here).
+    Returns theta [H, 1, TB].
+    """
+    vm = v + nm
+    if theta0 is None:
+        v0 = jnp.where(nm == 0.0, v, 0.0)
+        theta = (jnp.sum(v0, axis=-2, keepdims=True) - radius) / n_valid
+    else:
+        theta = theta0
+
+    def body(_, theta):
+        active = vm > theta
+        count = jnp.sum(active.astype(v.dtype), axis=-2, keepdims=True)
+        s = jnp.sum(jnp.where(active, v, 0.0), axis=-2, keepdims=True)
+        return (s - radius) / jnp.maximum(count, 1.0)
+
+    # num_iters is a static Python int and small (warm sweeps: 2-4);
+    # unroll fully to avoid Mosaic loop overhead inside the hot body.
+    if num_iters <= 4:
+        for i in range(num_iters):
+            theta = body(i, theta)
+        return theta
+    return jax.lax.fori_loop(0, num_iters, body, theta)
+
+
+def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
+                        cold_iters: int, S: Optional[int] = None):
+    """Kernel factory. With ``S`` set, r carries a leading Monte-Carlo
+    scenario axis and the smooth gradient is the scenario average
+    (stochastic-Kelly program, see ops/scenario.py)."""
+    c = params.cost_coeff
+    tau_to = params.max_turnover
+    use_ball = tau_to > 0
+    ridge = params.ridge
+    warm_iters = max(params.proj_warm_iters, 1)
+
+    def kernel(cw_ref, r_ref, out_ref):
+        r = r_ref[:]                         # [H, NP, TB] or [S, H, NP, TB]
+        w_init = cw_ref[:]                                 # [NP, TB]
+        TB = r.shape[-1]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (NP, TB), 0)
+        valid2 = (row < N).astype(r.dtype)                 # [NP, TB]
+        nm = jnp.where(row < N, 0.0, _NEG).astype(r.dtype)[None]  # [1,NP,TB]
+
+        # Per-problem Lipschitz bound (padded rows carry r = 0).
+        r_norm2 = jnp.sum(r * r, axis=-2, keepdims=True)   # [(S,) H, 1, TB]
+        r_big = jnp.where((nm if S is None else nm[None]) == 0.0, r, jnp.inf)
+        r_min = jnp.min(r_big, axis=-2, keepdims=True)     # [(S,) H, 1, TB]
+        ratio = r_norm2 / jnp.maximum(r_min, 1e-12) ** 2
+        if S is None:
+            L = jnp.max(ratio, axis=0, keepdims=True) + ridge      # [1,1,TB]
+        else:
+            # Mean over scenarios of the per-scenario (max over H) bound.
+            L = jnp.mean(jnp.max(ratio, axis=1), axis=0,
+                         keepdims=True) + ridge                    # [1,1,TB]
+        sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+        # Loop-constant reciprocals: turns two full-width divisions per
+        # PDHG iteration into multiplies (divisions are multi-cycle on
+        # the VPU; these arrays are [1, 1, TB] so the divide is ~free).
+        inv_sigma = 1.0 / sigma
+        shrink_t = c * inv_sigma
+
+        def proj_simplex(v, theta0, n_sweeps):
+            theta = _packed_threshold(
+                v, nm, 1.0, n_sweeps, theta0=theta0, n_valid=float(N)
+            )
+            return jnp.maximum(v + nm - theta, 0.0), theta
+
+        def apply_D(w):
+            prev = jnp.concatenate([w_init[None], w[:-1]], axis=0)
+            return w - prev
+
+        def apply_Dt(p):
+            nxt = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+            return p - nxt
+
+        def prox_phi_conj(q, theta0, n_sweeps):
+            v = q * inv_sigma
+            sv = jnp.sign(v)
+            inner = sv * jnp.maximum(jnp.abs(v) - shrink_t, 0.0)
+            theta = theta0
+            if use_ball:
+                a = jnp.abs(inner)
+                l1 = jnp.sum(
+                    jnp.where(nm == 0.0, a, 0.0), axis=-2, keepdims=True
+                )
+                theta = _packed_threshold(
+                    a, nm, tau_to, n_sweeps, theta0=theta0, n_valid=float(N)
+                )
+                proj = sv * jnp.maximum(a - jnp.maximum(theta, 0.0), 0.0)
+                inner = jnp.where(l1 <= tau_to, inner, proj)
+            return q - sigma * inner, theta
+
+        w0, th_w0 = proj_simplex(
+            jnp.broadcast_to(w_init[None], (H, NP, TB)), None, cold_iters
+        )
+        p0 = jnp.zeros_like(w0)
+        th_p0 = jnp.zeros_like(th_w0)
+
+        def smooth_grad(w):
+            if S is None:
+                port = jnp.sum(w * r, axis=-2, keepdims=True)   # [H, 1, TB]
+                # Divide on the [H, 1, TB] reduction, multiply full-width.
+                return r * (-1.0 / jnp.maximum(port, 1e-12))
+            port = jnp.sum(w[None] * r, axis=-2, keepdims=True)  # [S,H,1,TB]
+            g = r * (-1.0 / jnp.maximum(port, 1e-12))
+            return jnp.mean(g, axis=0)                            # [H,NP,TB]
+
+        def body(_, carry):
+            w, p, th_w, th_p = carry
+            grad = smooth_grad(w)
+            if ridge != 0.0:
+                grad = grad + ridge * w
+            w_new, th_w = proj_simplex(
+                w - tau_p * (grad + apply_Dt(p)), th_w, warm_iters
+            )
+            w_bar = 2.0 * w_new - w
+            p_new, th_p = prox_phi_conj(
+                p + sigma * apply_D(w_bar), th_p, warm_iters
+            )
+            return (w_new, p_new, th_w, th_p)
+
+        w, p, _, _ = jax.lax.fori_loop(
+            0, params.max_iters, body, (w0, p0, th_w0, th_p0)
+        )
+        out_ref[:] = w * valid2[None]
+
+    return kernel
+
+
+def _default_tile_b_packed(H: int, NP: int) -> int:
+    """One 128-lane tile. Measured FASTEST at every workload tried
+    (H=5/NP=32: 142k vs 130k at tb=256; H=20: 39.0k vs 36.2k; N=500:
+    11.6k, tb=256 overflows VMEM) — smaller tiles keep the working set
+    near the vector registers and Mosaic's scheduling tight."""
+    return 128
+
+
+def solve_mpc_log_utility_pallas_packed(
+    current_weights: jax.Array,
+    predicted_log_returns: jax.Array,
+    params: MPCParams,
+    tile_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batch-in-lanes fused solve: [B, N] x [B, H, N] -> ([B, H, N], info).
+
+    Assets are padded to a multiple of 8 sublanes, the batch to a multiple
+    of the 128-lane tile; results come back unpadded. Numerics match
+    solve_mpc_log_utility_batch (same iteration, projections, and warm
+    thresholds). Use for SMALL N (<~64); large N should use
+    solve_mpc_log_utility_pallas (assets-in-lanes).
+    """
+    B, H, N = predicted_log_returns.shape
+    NP = ((N + 7) // 8) * 8
+    dtype = jnp.float32
+    if tile_b is None:
+        tile_b = _default_tile_b_packed(H, NP)
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    r = jnp.exp(predicted_log_returns).astype(dtype)
+    # [B, H, N] -> [H, N, B]: batch rides the lane axis, assets sublanes.
+    r_t = jnp.transpose(r, (1, 2, 0))
+    r_pad = jnp.pad(r_t, ((0, 0), (0, NP - N), (0, Bp - B)))
+    cw_t = jnp.transpose(current_weights.astype(dtype), (1, 0))
+    cw_pad = jnp.pad(cw_t, ((0, NP - N), (0, Bp - B)))
+
+    cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
+    kernel = _make_packed_kernel(params, H, N, NP, cold_iters)
+    grid = (Bp // tile_b,)
+
+    w_pad = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NP, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (H, NP, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cw_pad, r_pad)
+
+    w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
+    w_init = current_weights.astype(dtype)
+    if params.max_turnover > 0 and params.restore_feasibility:
+        w = restore_turnover_feasibility(w, w_init, params.max_turnover)
+    info = {
+        "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
+        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
+    }
+    return w, info
+
+
+def solve_mpc_log_utility_scenarios_packed(
+    current_weights: jax.Array,
+    scenario_log_returns: jax.Array,
+    params: MPCParams,
+    tile_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batch-in-lanes fused scenario-averaged Kelly solve.
+
+    [B, N] x [B, S, H, N] -> ([B, H, N], info); numerics match
+    ops/scenario.py::solve_mpc_log_utility_scenarios (same iteration;
+    the smooth gradient is the scenario average).
+    """
+    B, S, H, N = scenario_log_returns.shape
+    NP = ((N + 7) // 8) * 8
+    dtype = jnp.float32
+    if tile_b is None:
+        tile_b = _default_tile_b_packed(H, NP)
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    r = jnp.exp(scenario_log_returns).astype(dtype)        # [B, S, H, N]
+    r_t = jnp.transpose(r, (1, 2, 3, 0))                   # [S, H, N, B]
+    r_pad = jnp.pad(r_t, ((0, 0), (0, 0), (0, NP - N), (0, Bp - B)))
+    cw_t = jnp.transpose(current_weights.astype(dtype), (1, 0))
+    cw_pad = jnp.pad(cw_t, ((0, NP - N), (0, Bp - B)))
+
+    cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
+    kernel = _make_packed_kernel(params, H, N, NP, cold_iters, S=S)
+    grid = (Bp // tile_b,)
+
+    w_pad = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NP, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, H, NP, tile_b), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (H, NP, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(cw_pad, r_pad)
+
+    w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
+    w_init = current_weights.astype(dtype)
+    if params.max_turnover > 0 and params.restore_feasibility:
+        w = restore_turnover_feasibility(w, w_init, params.max_turnover)
+
+    port = jnp.sum(w[..., None, :, :] * r, axis=-1)        # [B, S, H]
+    exp_log_growth = jnp.mean(
+        jnp.sum(jnp.log(jnp.maximum(port, 1e-30)), axis=-1), axis=-1
+    )
+    u = w - jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
+    objective = exp_log_growth - params.cost_coeff * jnp.sum(
+        jnp.abs(u), axis=(-2, -1)
+    )
+    info = {
+        "objective": objective,
+        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
+        "num_scenarios": S,
     }
     return w, info
