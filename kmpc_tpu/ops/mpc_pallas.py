@@ -416,6 +416,9 @@ def solve_mpc_log_utility_pallas_packed(
     dtype = jnp.float32
     if tile_b is None:
         tile_b = _default_tile_b_packed(H, NP)
+    # CPU has no Mosaic backend; fall back to interpret mode so callers
+    # (tests, --cpu CLIs) can flip the fused path on without branching.
+    interpret = interpret or jax.default_backend() == "cpu"
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     r = jnp.exp(predicted_log_returns).astype(dtype)
@@ -474,6 +477,7 @@ def solve_mpc_log_utility_scenarios_packed(
     dtype = jnp.float32
     if tile_b is None:
         tile_b = _default_tile_b_packed(H, NP)
+    interpret = interpret or jax.default_backend() == "cpu"
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     r = jnp.exp(scenario_log_returns).astype(dtype)        # [B, S, H, N]

@@ -248,6 +248,28 @@ def test_parallel_path_matches_scan_path():
     )
 
 
+def test_parallel_path_fused_kernel_close():
+    """The opt-in batch-in-lanes Pallas solver (interpret mode on CPU)
+    reproduces the XLA-solver parallel backtest to solver tolerance."""
+    fd = _mock_finance_data(T=50, seed=7)
+    model, params = _tiny_koopman(fd)
+    mpc = MPCParams(max_iters=2000, sigma_scale=2.0)
+    cfg = BacktestConfig(HORIZON=3)
+
+    df_xla = run_backtest_parallel(
+        KoopmanMPCStrategy(model=model, params=params, mpc=mpc),
+        fd, cfg, num_sweeps=12,
+    )
+    df_fused = run_backtest_parallel(
+        KoopmanMPCStrategy(model=model, params=params, mpc=mpc,
+                           use_fused_kernel=True),
+        fd, cfg, num_sweeps=12,
+    )
+    v1 = np.asarray(df_xla["portfolio_value"])
+    v2 = np.asarray(df_fused["portfolio_value"])
+    assert np.allclose(v1, v2, rtol=2e-3), np.max(np.abs(v1 - v2) / v1)
+
+
 def test_parallel_path_buy_and_hold_exact():
     fd = _mock_finance_data(T=50, seed=8)
     cfg = BacktestConfig(HORIZON=3)
