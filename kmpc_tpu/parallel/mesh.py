@@ -183,21 +183,51 @@ def make_sharded_train_step(cfg: Config, model: KoopmanModel, mesh: Mesh, dt: fl
     return sharded_step
 
 
-def sharded_mpc_solver(mesh: Mesh, mpc_params):
+def sharded_mpc_solver(mesh: Mesh, mpc_params, use_fused_kernel: bool = False):
     """Scenario-sharded batched log-utility MPC solve.
 
     Shards the problem batch across ('data','scenario') so a pod slice
     solves its shard locally; per-problem results need no cross-chip
     reduction (embarrassingly parallel across problems — ICI only moves
     the initial scatter and final gather).
+
+    ``use_fused_kernel`` routes each device's shard through the
+    batch-in-lanes Pallas kernel under ``jax.shard_map`` (XLA's SPMD
+    partitioner cannot split a custom kernel call, so the per-device
+    program is made explicit). Requires the batch to divide evenly by
+    mesh.shape['data'] * mesh.shape['scenario'].
     """
     from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
 
-    @jax.jit
-    def solve(current_weights, predicted_log_returns):
-        return solve_mpc_log_utility_batch(
-            current_weights, predicted_log_returns, mpc_params
+    if use_fused_kernel:
+        from kmpc_tpu.ops.mpc_pallas import (
+            solve_mpc_log_utility_pallas_packed,
         )
+
+        spec = P(("data", "scenario"))
+
+        def local_solve(cw, ys):
+            return solve_mpc_log_utility_pallas_packed(cw, ys, mpc_params)
+
+        solve = jax.jit(
+            jax.shard_map(
+                local_solve,
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, {"objective": spec, "converged": spec}),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # annotation; per-problem outputs are trivially varying
+                # on the batch axes only.
+                check_vma=False,
+            )
+        )
+    else:
+
+        @jax.jit
+        def solve(current_weights, predicted_log_returns):
+            return solve_mpc_log_utility_batch(
+                current_weights, predicted_log_returns, mpc_params
+            )
 
     def sharded_solve(current_weights, predicted_log_returns):
         cw = shard_batch(current_weights, mesh, ("data", "scenario"))

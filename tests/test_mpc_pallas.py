@@ -88,6 +88,34 @@ def test_packed_feasibility_odd_shapes():
     assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 2e-3)
 
 
+def test_packed_shape_fuzz():
+    """Edge shapes: tiny batch, H=1, asset counts straddling the sublane
+    tile. Feasibility must hold exactly; objective must track the XLA
+    solver closely on every instance."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    params = MPCParams(max_iters=800, sigma_scale=2.0)
+    for seed, (B, H, N) in enumerate(
+        [(1, 5, 30), (3, 1, 8), (5, 7, 9), (2, 5, 33), (130, 2, 3)]
+    ):
+        cw, ys = _instance(B=B, H=H, N=N, seed=seed)
+        w, info = solve_mpc_log_utility_pallas_packed(
+            cw, ys, params, tile_b=128, interpret=True
+        )
+        w = np.asarray(w)
+        assert w.shape == (B, H, N)
+        assert np.allclose(w.sum(-1), 1.0, atol=1e-4), (B, H, N)
+        assert np.all(w >= -1e-6), (B, H, N)
+        u = np.diff(
+            np.concatenate([np.asarray(cw)[:, None], w], axis=1), axis=1
+        )
+        assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 1e-5)
+        _, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
+        assert np.max(np.abs(
+            np.asarray(info["objective"]) - np.asarray(info_ref["objective"])
+        )) < 5e-4, (B, H, N)
+
+
 def test_packed_scenarios_match_xla():
     from kmpc_tpu.ops.mpc_pallas import (
         solve_mpc_log_utility_scenarios_packed,
