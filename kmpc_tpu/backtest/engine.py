@@ -126,6 +126,32 @@ class KoopmanMPCStrategy:
         )
         return w[:, 0, :]
 
+    def rebalance_all_warm(self, aux, current_weights, warm, max_iters=None):
+        """All-dates solve carrying (primal, dual) iterates across Jacobi
+        sweeps. Between sweeps only the pre-trade weights move (and less
+        each sweep), so warm sweeps need a fraction of the cold budget —
+        see make_parallel_backtester(warm_sweeps_iters=...)."""
+        from dataclasses import replace
+
+        mpc = self.mpc if max_iters is None else replace(
+            self.mpc, max_iters=max_iters
+        )
+        w_warm, p_warm = warm if warm is not None else (None, None)
+        if self.use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_log_utility_pallas_packed,
+            )
+            w, info = solve_mpc_log_utility_pallas_packed(
+                current_weights, aux["pred_log_returns"], mpc,
+                w_warm=w_warm, p_warm=p_warm, return_dual=True,
+            )
+        else:
+            w, info = solve_mpc_log_utility_batch(
+                current_weights, aux["pred_log_returns"], mpc,
+                w_warm=w_warm, p_warm=p_warm,
+            )
+        return w[:, 0, :], (w, info["dual"])
+
 
 @dataclass
 class ScenarioKoopmanMPCStrategy:
@@ -408,12 +434,21 @@ def make_parallel_backtester(
     fd: FinanceData,
     config: BacktestConfig,
     num_sweeps: int = 8,
+    warm_sweeps_iters: Optional[int] = None,
 ):
     """Build a reusable compiled Jacobi backtester.
 
     Returns ``(run, ts)`` where ``run()`` executes ``num_sweeps`` sweeps
     and the final history in ONE jitted program (sweep loop included, so
     repeated calls pay zero retrace), and ``ts`` are the rebalance dates.
+
+    ``warm_sweeps_iters`` (requires a strategy with ``rebalance_all_warm``,
+    e.g. KoopmanMPCStrategy): sweep 1 solves cold at the strategy's full
+    iteration budget; every later sweep warm-starts from the previous
+    sweep's (primal, dual) iterates and runs only this many PDHG
+    iterations. Between sweeps only the pre-trade weights move — and
+    less each sweep — so a quarter-budget warm sweep tracks the cold
+    fixed point to backtest tolerance at a fraction of the cost.
     """
     n_steps = fd.test.shape[0] - config.HORIZON
     ts = np.arange(0, n_steps, config.REBALANCE_FREQ)
@@ -431,12 +466,9 @@ def make_parallel_backtester(
         aux,
     )
 
-    def sweep(aux_arg, returns_arg, pre_trade_guess):
-        # 1. Batched rebalance for every date given guessed weights.
-        targets = strategy.rebalance_all(aux_arg, pre_trade_guess)  # [T, N]
-
-        # 2. Cheap wealth/drift recursion to recover implied pre-trade
-        #    weights (sequential but trivially cheap: [N]-sized ops).
+    def recursion(returns_arg, targets):
+        # Cheap wealth/drift recursion to recover implied pre-trade
+        # weights (sequential but trivially cheap: [N]-sized ops).
         def body(carry, inp):
             value, weights = carry
             t, target = inp
@@ -462,11 +494,50 @@ def make_parallel_backtester(
         _, out = jax.lax.scan(body, init, (ts_j, targets))
         return out
 
+    def sweep(aux_arg, returns_arg, pre_trade_guess):
+        # Batched rebalance for every date given guessed weights, then
+        # the wealth recursion.
+        targets = strategy.rebalance_all(aux_arg, pre_trade_guess)  # [T, N]
+        return recursion(returns_arg, targets)
+
+    use_warm = warm_sweeps_iters is not None
+    if use_warm and not hasattr(strategy, "rebalance_all_warm"):
+        raise ValueError(
+            "warm_sweeps_iters requires a strategy with rebalance_all_warm"
+        )
+    if use_warm and num_sweeps < 2:
+        raise ValueError("warm_sweeps_iters needs num_sweeps >= 2")
+
     # aux/returns as ARGUMENTS (closure-captured device arrays would be
     # embedded as program constants — prohibitive at 500-asset scale).
     @jax.jit
     def _run(aux_arg, returns_arg):
         guess0 = jnp.full((T, n), 1.0 / n, dtype=jnp.float32)
+
+        if use_warm:
+            # Sweep 1: cold, full budget. Later sweeps: warm-started
+            # quarter-ish budget; the (primal, dual) carry rides the
+            # sweep scan.
+            targets, warm = strategy.rebalance_all_warm(
+                aux_arg, guess0, None
+            )
+            guess = recursion(returns_arg, targets)["pre_trade"]
+
+            def warm_body(carry, _):
+                g, wm = carry
+                tgt, wm = strategy.rebalance_all_warm(
+                    aux_arg, g, wm, max_iters=warm_sweeps_iters
+                )
+                return (recursion(returns_arg, tgt)["pre_trade"], wm), None
+
+            (guess, warm), _ = jax.lax.scan(
+                warm_body, (guess, warm), None,
+                length=max(num_sweeps - 2, 0),
+            )
+            targets, _ = strategy.rebalance_all_warm(
+                aux_arg, guess, warm, max_iters=warm_sweeps_iters
+            )
+            return recursion(returns_arg, targets)
 
         def sweep_body(guess, _):
             return sweep(aux_arg, returns_arg, guess)["pre_trade"], None
@@ -490,6 +561,7 @@ def run_backtest_parallel(
     config: BacktestConfig,
     num_sweeps: int = 8,
     return_dataframe: bool = True,
+    warm_sweeps_iters: Optional[int] = None,
 ):
     """Backtest via Jacobi sweeps: batch-solve all dates, re-run the wealth
     recursion, iterate.
@@ -503,7 +575,10 @@ def run_backtest_parallel(
     ``run_backtest`` when exact sequential semantics are required, and
     :func:`make_parallel_backtester` to amortize compilation over
     repeated runs."""
-    run, ts = make_parallel_backtester(strategy, fd, config, num_sweeps)
+    run, ts = make_parallel_backtester(
+        strategy, fd, config, num_sweeps,
+        warm_sweeps_iters=warm_sweeps_iters,
+    )
     history = run()
     history = {k: np.asarray(v) for k, v in history.items()}
     history["t"] = ts

@@ -282,17 +282,26 @@ def _packed_threshold(v, nm, radius, num_iters, theta0=None, n_valid=None):
 
 
 def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
-                        cold_iters: int, S: Optional[int] = None):
+                        cold_iters: int, S: Optional[int] = None,
+                        warm_start: bool = False,
+                        return_dual: bool = False):
     """Kernel factory. With ``S`` set, r carries a leading Monte-Carlo
     scenario axis and the smooth gradient is the scenario average
-    (stochastic-Kelly program, see ops/scenario.py)."""
+    (stochastic-Kelly program, see ops/scenario.py). With ``warm_start``,
+    two extra input refs carry the previous primal/dual iterates; with
+    ``return_dual``, a second output ref receives the final dual."""
     c = params.cost_coeff
     tau_to = params.max_turnover
     use_ball = tau_to > 0
     ridge = params.ridge
     warm_iters = max(params.proj_warm_iters, 1)
 
-    def kernel(cw_ref, r_ref, out_ref):
+    def kernel(cw_ref, r_ref, *rest):
+        if warm_start:
+            w_warm_ref, p_warm_ref = rest[0], rest[1]
+            rest = rest[2:]
+        out_ref = rest[0]
+        out_p_ref = rest[1] if return_dual else None
         r = r_ref[:]                         # [H, NP, TB] or [S, H, NP, TB]
         w_init = cw_ref[:]                                 # [NP, TB]
         TB = r.shape[-1]
@@ -351,10 +360,19 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 inner = jnp.where(l1 <= tau_to, inner, proj)
             return q - sigma * inner, theta
 
-        w0, th_w0 = proj_simplex(
-            jnp.broadcast_to(w_init[None], (H, NP, TB)), None, cold_iters
-        )
-        p0 = jnp.zeros_like(w0)
+        if warm_start:
+            w0 = w_warm_ref[:]
+            p0 = p_warm_ref[:]
+            # Thresholds re-derived cold on the first in-loop projection;
+            # a cold Michelot start is globally convergent (see
+            # ops/projections.py) so only the first sweep set pays extra.
+            th_w0 = _packed_threshold(w0, nm, 1.0, cold_iters,
+                                      n_valid=float(N))
+        else:
+            w0, th_w0 = proj_simplex(
+                jnp.broadcast_to(w_init[None], (H, NP, TB)), None, cold_iters
+            )
+            p0 = jnp.zeros_like(w0)
         th_p0 = jnp.zeros_like(th_w0)
 
         def smooth_grad(w):
@@ -384,6 +402,8 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             0, params.max_iters, body, (w0, p0, th_w0, th_p0)
         )
         out_ref[:] = w * valid2[None]
+        if return_dual:
+            out_p_ref[:] = p * valid2[None]
 
     return kernel
 
@@ -402,14 +422,18 @@ def solve_mpc_log_utility_pallas_packed(
     params: MPCParams,
     tile_b: Optional[int] = None,
     interpret: bool = False,
+    w_warm: Optional[jax.Array] = None,
+    p_warm: Optional[jax.Array] = None,
+    return_dual: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batch-in-lanes fused solve: [B, N] x [B, H, N] -> ([B, H, N], info).
 
     Assets are padded to a multiple of 8 sublanes, the batch to a multiple
     of the 128-lane tile; results come back unpadded. Numerics match
     solve_mpc_log_utility_batch (same iteration, projections, and warm
-    thresholds). Use for SMALL N (<~64); large N should use
-    solve_mpc_log_utility_pallas (assets-in-lanes).
+    thresholds), including its optional ``w_warm``/``p_warm`` iterate
+    warm starts; ``return_dual`` adds ``info['dual']`` for carrying the
+    warm state across repeated solves (e.g. Jacobi backtest sweeps).
     """
     B, H, N = predicted_log_returns.shape
     NP = ((N + 7) // 8) * 8
@@ -428,25 +452,47 @@ def solve_mpc_log_utility_pallas_packed(
     cw_t = jnp.transpose(current_weights.astype(dtype), (1, 0))
     cw_pad = jnp.pad(cw_t, ((0, NP - N), (0, Bp - B)))
 
+    warm_start = w_warm is not None
     cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
-    kernel = _make_packed_kernel(params, H, N, NP, cold_iters)
+    kernel = _make_packed_kernel(params, H, N, NP, cold_iters,
+                                 warm_start=warm_start,
+                                 return_dual=return_dual)
     grid = (Bp // tile_b,)
 
-    w_pad = pl.pallas_call(
+    block3 = pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((NP, tile_b), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        block3,
+    ]
+    operands = [cw_pad, r_pad]
+    if warm_start:
+        def pack3(x):
+            return jnp.pad(
+                jnp.transpose(x.astype(dtype), (1, 2, 0)),
+                ((0, 0), (0, NP - N), (0, Bp - B)),
+            )
+        operands += [pack3(w_warm),
+                     pack3(p_warm if p_warm is not None
+                           else jnp.zeros_like(w_warm))]
+        in_specs += [block3, block3]
+
+    out_shape = jax.ShapeDtypeStruct((H, NP, Bp), dtype)
+    out_specs = block3
+    if return_dual:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H, NP, Bp), dtype))
+        out_specs = (block3, block3)
+
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+        out_shape=out_shape,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((NP, tile_b), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (H, NP, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
         interpret=interpret,
-    )(cw_pad, r_pad)
+    )(*operands)
+    w_pad, p_pad = out if return_dual else (out, None)
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
@@ -456,6 +502,8 @@ def solve_mpc_log_utility_pallas_packed(
         "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
         "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
     }
+    if return_dual:
+        info["dual"] = jnp.transpose(p_pad[:, :N, :B], (2, 0, 1))
     return w, info
 
 

@@ -270,6 +270,36 @@ def test_parallel_path_fused_kernel_close():
     assert np.allclose(v1, v2, rtol=2e-3), np.max(np.abs(v1 - v2) / v1)
 
 
+def test_parallel_path_warm_sweeps():
+    """Full-budget warm sweeps reproduce cold-sweep accuracy (the warm
+    carry is unbiased); reduced-budget warm sweeps stay within loose
+    backtest tolerance. Misuse raises."""
+    fd = _mock_finance_data(T=50, seed=7)
+    model, params = _tiny_koopman(fd)
+    mpc = MPCParams(max_iters=2000, sigma_scale=2.0)
+    strat = KoopmanMPCStrategy(model=model, params=params, mpc=mpc)
+    cfg = BacktestConfig(HORIZON=3)
+
+    df_scan = run_backtest(strat, fd, cfg)
+    v_scan = np.asarray(df_scan["portfolio_value"])
+
+    df_warm = run_backtest_parallel(
+        strat, fd, cfg, num_sweeps=60, warm_sweeps_iters=2000
+    )
+    v_warm = np.asarray(df_warm["portfolio_value"])
+    assert np.max(np.abs(v_warm - v_scan) / v_scan) < 5e-3
+
+    with pytest.raises(ValueError):
+        run_backtest_parallel(
+            BuyAndHoldStrategy(), fd, cfg, num_sweeps=12,
+            warm_sweeps_iters=100,
+        )
+    with pytest.raises(ValueError):
+        run_backtest_parallel(
+            strat, fd, cfg, num_sweeps=1, warm_sweeps_iters=100
+        )
+
+
 def test_parallel_path_buy_and_hold_exact():
     fd = _mock_finance_data(T=50, seed=8)
     cfg = BacktestConfig(HORIZON=3)

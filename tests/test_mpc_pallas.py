@@ -116,6 +116,35 @@ def test_packed_shape_fuzz():
         )) < 5e-4, (B, H, N)
 
 
+def test_packed_warm_continuation():
+    """A warm-started 200-iteration continuation from a 600-iteration
+    solve's (primal, dual) must land where an 800-iteration cold solve
+    lands, and must agree with the XLA solver's warm path."""
+    from dataclasses import replace
+
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=9, H=5, N=30)
+    params = MPCParams(max_iters=600, sigma_scale=2.0,
+                       restore_feasibility=False)
+    w1, i1 = solve_mpc_log_utility_pallas_packed(
+        cw, ys, params, return_dual=True, interpret=True
+    )
+    assert i1["dual"].shape == (9, 5, 30)
+    p200 = replace(params, max_iters=200)
+    w2, _ = solve_mpc_log_utility_pallas_packed(
+        cw, ys, p200, w_warm=w1, p_warm=i1["dual"], interpret=True
+    )
+    w_cold, _ = solve_mpc_log_utility_pallas_packed(
+        cw, ys, replace(params, max_iters=800), interpret=True
+    )
+    assert np.max(np.abs(np.asarray(w2) - np.asarray(w_cold))) < 5e-5
+    w2x, _ = solve_mpc_log_utility_batch(
+        cw, ys, p200, w_warm=w1, p_warm=i1["dual"]
+    )
+    assert np.max(np.abs(np.asarray(w2) - np.asarray(w2x))) < 5e-4
+
+
 def test_packed_scenarios_match_xla():
     from kmpc_tpu.ops.mpc_pallas import (
         solve_mpc_log_utility_scenarios_packed,
