@@ -14,10 +14,10 @@ paths):
    The problem batch rides the 128-lane axis (always full), assets ride
    sublanes (N=30 -> 32, 1.07x pad), the horizon is the leading untiled
    axis; asset reductions are sublane reductions. Beats the XLA scan
-   everywhere: 142k vs 94k solves/s on the H=5/N=30 headline (the scan
+   everywhere: 156k vs 94k solves/s on the H=5/N=30 headline (the scan
    is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
-   every iteration), 39.0k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
-   83k vs 66k on the S=16 scenario-Kelly program
+   every iteration), 41.8k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
+   64.2k (1000 iters) vs 66k (500 iters) on the S=16 scenario-Kelly program
    (``solve_mpc_log_utility_scenarios_packed``).
 
 2. ``solve_mpc_log_utility_pallas`` — assets-in-lanes ([TB, H, LANES]
@@ -247,29 +247,30 @@ def solve_mpc_log_utility_pallas(
 # sublane reductions; everything stays VMEM-resident for the whole
 # solve, removing the ~30 MB/iteration HBM round-trip that binds the
 # XLA scan at batch 8192 (working set ~8 arrays x B*H*N*4B >> 16 MB
-# VMEM). Measured on v5e: 333k solves/s on the H=5/N=30 headline vs
-# 96k for the XLA scan (see RESULTS.md).
+# VMEM). Measured on v5e: 156k solves/s on the H=5/N=30 headline vs
+# 94k for the XLA scan (see RESULTS.md).
 
 
-def _packed_threshold(v, nm, radius, num_iters, theta0=None, n_valid=None):
+def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
     """Michelot/Newton simplex threshold over the ASSET axis (axis=-2).
 
-    v: [H, NP, TB]; nm: additive mask, 0 for valid asset rows, -inf for
-    padded rows. Matches ops/projections.py:_simplex_threshold (values in
-    the solver are O(1) so the max-centering there is unnecessary here).
-    Returns theta [H, 1, TB].
+    vm: [H, NP, TB] PRE-MASKED values (padded asset rows carry ~-inf so
+    they can never enter the active set; valid rows are exact). Matches
+    ops/projections.py:_simplex_threshold (values in the solver are O(1)
+    so the max-centering there is unnecessary here). Callers compute
+    ``vm = v + nm`` once and reuse it for the projection output, saving
+    a full-width add per call. Returns theta [H, 1, TB].
     """
-    vm = v + nm
     if theta0 is None:
-        v0 = jnp.where(nm == 0.0, v, 0.0)
+        v0 = jnp.where(vm > 0.5 * _NEG, vm, 0.0)
         theta = (jnp.sum(v0, axis=-2, keepdims=True) - radius) / n_valid
     else:
         theta = theta0
 
     def body(_, theta):
         active = vm > theta
-        count = jnp.sum(active.astype(v.dtype), axis=-2, keepdims=True)
-        s = jnp.sum(jnp.where(active, v, 0.0), axis=-2, keepdims=True)
+        count = jnp.sum(active.astype(vm.dtype), axis=-2, keepdims=True)
+        s = jnp.sum(jnp.where(active, vm, 0.0), axis=-2, keepdims=True)
         return (s - radius) / jnp.maximum(count, 1.0)
 
     # num_iters is a static Python int and small (warm sweeps: 2-4);
@@ -330,10 +331,11 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
         shrink_t = c * inv_sigma
 
         def proj_simplex(v, theta0, n_sweeps):
+            vm = v + nm
             theta = _packed_threshold(
-                v, nm, 1.0, n_sweeps, theta0=theta0, n_valid=float(N)
+                vm, 1.0, n_sweeps, theta0=theta0, n_valid=float(N)
             )
-            return jnp.maximum(v + nm - theta, 0.0), theta
+            return jnp.maximum(vm - theta, 0.0), theta
 
         def apply_D(w):
             prev = jnp.concatenate([w_init[None], w[:-1]], axis=0)
@@ -344,17 +346,18 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             return p - nxt
 
         def prox_phi_conj(q, theta0, n_sweeps):
+            # Invariant: padded asset rows of q are exactly 0 (w, p, and
+            # their differences stay 0 there), so a is 0 on padded rows
+            # and the l1 reduction needs no mask.
             v = q * inv_sigma
             sv = jnp.sign(v)
-            inner = sv * jnp.maximum(jnp.abs(v) - shrink_t, 0.0)
+            a = jnp.maximum(jnp.abs(v) - shrink_t, 0.0)  # == |soft(v)|
+            inner = sv * a
             theta = theta0
             if use_ball:
-                a = jnp.abs(inner)
-                l1 = jnp.sum(
-                    jnp.where(nm == 0.0, a, 0.0), axis=-2, keepdims=True
-                )
+                l1 = jnp.sum(a, axis=-2, keepdims=True)
                 theta = _packed_threshold(
-                    a, nm, tau_to, n_sweeps, theta0=theta0, n_valid=float(N)
+                    a + nm, tau_to, n_sweeps, theta0=theta0, n_valid=float(N)
                 )
                 proj = sv * jnp.maximum(a - jnp.maximum(theta, 0.0), 0.0)
                 inner = jnp.where(l1 <= tau_to, inner, proj)
@@ -366,7 +369,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # Thresholds re-derived cold on the first in-loop projection;
             # a cold Michelot start is globally convergent (see
             # ops/projections.py) so only the first sweep set pays extra.
-            th_w0 = _packed_threshold(w0, nm, 1.0, cold_iters,
+            th_w0 = _packed_threshold(w0 + nm, 1.0, cold_iters,
                                       n_valid=float(N))
         else:
             w0, th_w0 = proj_simplex(
