@@ -1,0 +1,190 @@
+"""Torch-checkpoint import: reference-layout state dicts -> kmpc_tpu params.
+
+Builds small torch modules with the reference's exact parameter layout
+(nn.Sequential MLPs with interleaved activations, [out,in] Linear
+weights, right-multiplying kmat/S/dict — reference: model.py:92-106,
+173-188, 311-321, 818-850), computes their forward passes in torch, and
+checks the converted pytree reproduces them through kmpc_tpu's apply
+functions. Also round-trips a torch.save'd checkpoint dict through
+load_torch_checkpoint and the inverse export.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from kmpc_tpu.config import get_config  # noqa: E402
+from kmpc_tpu.models import make_model  # noqa: E402
+from kmpc_tpu.utils.torch_import import (  # noqa: E402
+    convert_state_dict,
+    export_params_to_state_dict,
+    load_torch_checkpoint,
+)
+
+OBS, Z = 6, 8
+
+
+def _torch_mlp(in_size, out_size, hidden, use_bias, last_relu=False):
+    layers = []
+    prev = in_size
+    for h in hidden:
+        layers.append(nn.Linear(prev, h, bias=use_bias))
+        layers.append(nn.ReLU())
+        prev = h
+    layers.append(nn.Linear(prev, out_size, bias=use_bias))
+    if last_relu:
+        layers.append(nn.ReLU())
+    return nn.Sequential(*layers)
+
+
+class _TorchGenericKM(nn.Module):
+    """Reference-layout GenericKM twin (state-dict keys match
+    reference model.py:715-736)."""
+
+    def __init__(self, use_bias):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.network = _torch_mlp(OBS, Z, [16, 12], use_bias)
+        self.decoder = nn.Module()
+        self.decoder.network = _torch_mlp(Z, OBS, [12], use_bias)
+        self.kmat = nn.Parameter(torch.eye(Z) + 0.01 * torch.randn(Z, Z))
+
+    def encode(self, x):
+        return self.encoder.network(x)
+
+    def step_env(self, x):
+        return self.decoder.network(self.encode(x) @ self.kmat)
+
+
+def _cfg_generic(use_bias):
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = Z
+    cfg.MODEL.ENCODER.LAYERS = [16, 12]
+    cfg.MODEL.ENCODER.USE_BIAS = use_bias
+    cfg.MODEL.ENCODER.LAST_RELU = False
+    cfg.MODEL.ENCODER.ACTIVATION = "relu"
+    cfg.MODEL.DECODER.LAYERS = [12]
+    cfg.MODEL.DECODER.USE_BIAS = use_bias
+    cfg.MODEL.DECODER.ACTIVATION = "relu"
+    cfg.MODEL.NORM_FN = "id"
+    return cfg
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_generic_km_forward_parity(use_bias):
+    torch.manual_seed(0)
+    tm = _TorchGenericKM(use_bias)
+    x = torch.randn(5, OBS)
+    with torch.no_grad():
+        z_t = tm.encode(x).numpy()
+        nx_t = tm.step_env(x).numpy()
+
+    cfg = _cfg_generic(use_bias)
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), "GenericKM")
+    xj = jnp.asarray(x.numpy())
+    np.testing.assert_allclose(model.encode(params, xj), z_t, atol=1e-5)
+    np.testing.assert_allclose(model.step_env(params, xj), nx_t, atol=1e-5)
+
+
+def test_listakm_forward_parity():
+    torch.manual_seed(1)
+    num_loops, alpha, L = 3, 0.05, 10.0
+    Wd = 0.5 * torch.randn(OBS, Z)
+
+    class TorchLISTAKM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.dict = nn.Parameter(Wd.T.clone())
+            self.lista = nn.Module()
+            self.lista.We = nn.Linear(OBS, Z, bias=False)
+            with torch.no_grad():
+                self.lista.We.weight.copy_((1.0 / L) * Wd.T)
+            self.lista.S = nn.Parameter(
+                torch.eye(Z) - (1.0 / L) * (Wd.T @ Wd)
+            )
+            self.kmat = nn.Parameter(torch.eye(Z))
+
+        def encode(self, x):
+            def shrink(v, t):
+                return torch.sign(v) * torch.clamp(v.abs() - t, min=0.0)
+
+            c = self.lista.We(x)
+            z = shrink(c, alpha / L)
+            for _ in range(num_loops):
+                z = shrink(z @ self.lista.S + c, alpha / L)
+            return z
+
+        def decode(self, y):
+            wd = self.dict / self.dict.norm(dim=1, keepdim=True).clamp(
+                min=1e-4
+            )
+            return y @ wd
+
+    tm = TorchLISTAKM()
+    x = torch.randn(4, OBS)
+    with torch.no_grad():
+        z_t = tm.encode(x).numpy()
+        y_t = tm.decode(tm.encode(x)).numpy()
+
+    cfg = get_config("lista")
+    cfg.MODEL.TARGET_SIZE = Z
+    cfg.MODEL.ENCODER.LISTA.NUM_LOOPS = num_loops
+    cfg.MODEL.ENCODER.LISTA.ALPHA = alpha
+    cfg.MODEL.ENCODER.LISTA.L = L
+    cfg.MODEL.ENCODER.LISTA.LINEAR_ENCODER = True
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), "LISTAKM")
+    xj = jnp.asarray(x.numpy())
+    zj = model.encode(params, xj)
+    np.testing.assert_allclose(zj, z_t, atol=1e-5)
+    np.testing.assert_allclose(model.decode(params, zj), y_t, atol=1e-5)
+
+
+def test_load_torch_checkpoint_roundtrip(tmp_path):
+    torch.manual_seed(2)
+    tm = _TorchGenericKM(use_bias=False)
+    cfg = _cfg_generic(use_bias=False)
+    path = tmp_path / "checkpoint.pt"
+    torch.save(
+        {
+            "step": 1234,
+            "model_state_dict": tm.state_dict(),
+            "optimizer_state_dict": {},
+            "config": cfg.to_dict(),
+            "metrics": {"loss": 0.5},
+            "finance_metadata": {"n_assets": 3},
+        },
+        path,
+    )
+
+    ckpt = load_torch_checkpoint(str(path))
+    assert ckpt["step"] == 1234
+    assert ckpt["metrics"]["loss"] == 0.5
+    assert ckpt["config"].MODEL.TARGET_SIZE == Z
+    x = torch.randn(3, OBS)
+    with torch.no_grad():
+        expected = tm.step_env(x).numpy()
+    got = ckpt["model"].step_env(ckpt["params"], jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_export_inverse_roundtrip():
+    cfg = _cfg_generic(use_bias=True)
+    model = make_model(cfg, OBS)
+    params = model.init(jax.random.PRNGKey(0))
+    sd = export_params_to_state_dict(params, "GenericKM")
+    back = convert_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()},
+        "GenericKM",
+    )
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
