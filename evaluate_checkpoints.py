@@ -42,7 +42,20 @@ def main():
     from kmpc_tpu.utils.checkpoint import load_checkpoint
 
     run_dir = Path(args.run_dir)
-    cfg = Config.from_json(str(run_dir / "config.json"))
+    if (run_dir / "config.json").exists():
+        cfg = Config.from_json(str(run_dir / "config.json"))
+    else:
+        # Reference-format run dir with only torch checkpoints: pull the
+        # config from the first checkpoint.pt (reference: train.py:475-492).
+        from kmpc_tpu.utils.torch_import import load_torch_checkpoint
+
+        pts = [run_dir / f"{n}.pt" for n in args.checkpoints]
+        pts = [p for p in pts if p.exists()]
+        if not pts:
+            raise FileNotFoundError(
+                f"No config.json or {args.checkpoints}.pt under {run_dir}"
+            )
+        cfg = load_torch_checkpoint(str(pts[0]))["config"]
     system_name = args.system or cfg.ENV.ENV_NAME
     is_finance = system_name.lower() == "finance"
 
@@ -69,15 +82,24 @@ def main():
     summary = {}
     for name in args.checkpoints:
         ckpt_dir = run_dir / name
-        if not (ckpt_dir / "arrays.npz").exists():
-            print(f"Skipping {name}: not found at {ckpt_dir}")
+        pt_file = run_dir / f"{name}.pt"
+        if (ckpt_dir / "arrays.npz").exists():
+            state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
+            state, meta = load_checkpoint(ckpt_dir, state)
+            params, step = state["params"], meta["step"]
+        elif pt_file.exists():
+            # Reference torch checkpoint (train.py:475-492 format).
+            from kmpc_tpu.utils.torch_import import load_torch_checkpoint
+
+            ckpt = load_torch_checkpoint(str(pt_file))
+            params, step = ckpt["params"], ckpt.get("step")
+        else:
+            print(f"Skipping {name}: not found at {ckpt_dir} or {pt_file}")
             continue
-        state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
-        state, meta = load_checkpoint(ckpt_dir, state)
-        print(f"Evaluating '{name}' (step {meta['step']}) on {system_name}...")
+        print(f"Evaluating '{name}' (step {step}) on {system_name}...")
         if is_finance:
             res = evaluate_finance(
-                model, state["params"], test_init, test_future,
+                model, params, test_init, test_future,
                 max_horizon=max(args.horizons),
             )
             results = {
@@ -90,7 +112,7 @@ def main():
         else:
             out_dir = run_dir / f"evaluation_{name}"
             results = evaluate_model(
-                model, state["params"], cfg, settings, output_dir=out_dir
+                model, params, cfg, settings, output_dir=out_dir
             )
             sys_res = results.get(system_name, {})
             for horizon in args.horizons:
@@ -105,7 +127,7 @@ def main():
         with open(results_file, "w") as f:
             json.dump(results, f, indent=2)
         summary[name] = {
-            "step": meta["step"],
+            "step": step,
             "results_file": str(results_file),
         }
 

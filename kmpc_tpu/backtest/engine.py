@@ -222,6 +222,7 @@ class DMDStrategy:
     mpc: MPCParams
     K: Optional[jax.Array] = None  # [obs, obs], x_{t+1} = K x_t (column form)
     use_warm_start: bool = False
+    use_fused_kernel: bool = False  # read by the borrowed rebalance_all
 
     def fit(self, train_data: jax.Array) -> "DMDStrategy":
         X = train_data[:-1].T                               # [obs, T-1]

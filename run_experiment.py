@@ -48,6 +48,10 @@ def main():
                         help="also run the stochastic-Kelly strategy with N Monte-Carlo scenarios")
     parser.add_argument("--sweeps", type=int, default=0,
                         help="parallel-path sweeps (0 = number of dates, exact)")
+    parser.add_argument("--torch_ckpt", type=str, default=None,
+                        help="load a reference PyTorch checkpoint.pt "
+                             "(train.py:475-492 format) instead of a "
+                             "kmpc_tpu run directory")
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -77,19 +81,33 @@ def main():
     from kmpc_tpu.train.loop import init_train_state
     from kmpc_tpu.utils.checkpoint import load_checkpoint
 
-    run_dir = Path(args.path) if args.path else find_latest_run(Path("runs/kae_finance"))
-    ckpt_dir = run_dir / "checkpoint"
-    if not (ckpt_dir / "arrays.npz").exists():
-        ckpt_dir = run_dir / "last"
-    print(f"Loading checkpoint from {ckpt_dir}")
+    torch_ckpt = args.torch_ckpt
+    if torch_ckpt is None and args.path and args.path.endswith(".pt"):
+        torch_ckpt = args.path
+    if torch_ckpt is not None:
+        # Drop-in path for reference users: a torch.save'd checkpoint.pt.
+        from kmpc_tpu.utils.torch_import import load_torch_checkpoint
 
-    cfg = Config.from_json(str(run_dir / "config.json"))
-    fd = load_finance_data(cfg)
-    model = make_model(cfg, fd.observation_size)
-    state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
-    state, meta = load_checkpoint(ckpt_dir, state)
-    params = state["params"]
-    print(f"Loaded model at step {meta['step']}")
+        print(f"Loading reference torch checkpoint from {torch_ckpt}")
+        ckpt = load_torch_checkpoint(torch_ckpt)
+        cfg, model, params = ckpt["config"], ckpt["model"], ckpt["params"]
+        fd = load_finance_data(cfg)
+        run_dir = Path(torch_ckpt).parent
+        print(f"Loaded model at step {ckpt['step']}")
+    else:
+        run_dir = Path(args.path) if args.path else find_latest_run(Path("runs/kae_finance"))
+        ckpt_dir = run_dir / "checkpoint"
+        if not (ckpt_dir / "arrays.npz").exists():
+            ckpt_dir = run_dir / "last"
+        print(f"Loading checkpoint from {ckpt_dir}")
+
+        cfg = Config.from_json(str(run_dir / "config.json"))
+        fd = load_finance_data(cfg)
+        model = make_model(cfg, fd.observation_size)
+        state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
+        state, meta = load_checkpoint(ckpt_dir, state)
+        params = state["params"]
+        print(f"Loaded model at step {meta['step']}")
 
     # CLI flags override the run's config.json MPC/BACKTEST sections.
     horizon = args.horizon if args.horizon is not None else cfg.MPC.HORIZON

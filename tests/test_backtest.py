@@ -333,3 +333,23 @@ def test_full_experiment_four_strategies():
         "Sharpe Ratio", "Max Drawdown", "Avg Turnover", "Final Value", "Total Return",
     }
     assert np.isfinite(table.values.astype(float)).all()
+
+
+def test_full_experiment_four_strategies_parallel():
+    """Every strategy also runs through the Jacobi parallel path (the
+    run_experiment.py --parallel configuration; regression: DMDStrategy
+    borrows KoopmanMPCStrategy.rebalance_all, which reads fields only
+    the owner class declared)."""
+    fd = _mock_finance_data(T=40, seed=10)
+    model, params = _tiny_koopman(fd)
+    cfg = BacktestConfig(HORIZON=3)
+    strategies = {
+        "BuyAndHold": BuyAndHoldStrategy(),
+        "Markowitz": MarkowitzStrategy(mpc=MPCParams(max_iters=150, gamma=1.0)),
+        "DMD": DMDStrategy(mpc=FAST_MPC),
+        "KoopmanMPC": KoopmanMPCStrategy(model=model, params=params, mpc=FAST_MPC),
+    }
+    for name, strat in strategies.items():
+        df = run_backtest_parallel(strat, fd, cfg, num_sweeps=3)
+        metrics = calculate_metrics(df)
+        assert np.isfinite(list(metrics.values())).all(), name

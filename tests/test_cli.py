@@ -169,3 +169,42 @@ def test_sweep_sparsity_cli(tmp_path):
     assert runs
     assert (runs[-1] / "sparsity_sweep_results.json").exists()
     assert "Best coefficient" in res.stdout
+
+
+def test_evaluate_checkpoints_cli_torch_ckpt(tmp_path):
+    """A reference-format run dir (only checkpoint.pt, no config.json)
+    drives the evaluation CLI via the torch importer."""
+    torch = pytest.importorskip("torch")
+
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.utils.torch_import import export_params_to_state_dict
+
+    cfg = get_config("finance_sparse")
+    cfg.MODEL.TARGET_SIZE = 16
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    cfg.MODEL.DECODER.LAYERS = [16]
+    cfg.ENV.FINANCE.EMBEDDING_DIM = 2
+    obs = len(cfg.ENV.FINANCE.TICKERS) * cfg.ENV.FINANCE.EMBEDDING_DIM
+    model = make_model(cfg, obs)
+    params = model.init(jax.random.PRNGKey(0))
+    sd = {
+        k: torch.as_tensor(np.array(v))
+        for k, v in export_params_to_state_dict(
+            params, cfg.MODEL.MODEL_NAME
+        ).items()
+    }
+    torch.save(
+        {"step": 3, "model_state_dict": sd, "optimizer_state_dict": {},
+         "config": cfg.to_dict(), "metrics": {}, "finance_metadata": {}},
+        tmp_path / "checkpoint.pt",
+    )
+
+    res = _run([
+        "evaluate_checkpoints.py", "--cpu", "--run_dir", str(tmp_path),
+        "--horizons", "8", "--batch_size", "6", "--checkpoints", "checkpoint",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert (tmp_path / "evaluation_results_checkpoint.json").exists()
+    with open(tmp_path / "evaluation_summary.json") as f:
+        assert json.load(f)["checkpoint"]["step"] == 3
