@@ -38,10 +38,11 @@ def main():
     from kmpc_tpu.config import Config
     from kmpc_tpu.eval.evaluation import EvaluationSettings, evaluate_model
     from kmpc_tpu.models import make_model
-    from kmpc_tpu.train.loop import evaluate_finance, init_train_state
-    from kmpc_tpu.utils.checkpoint import load_checkpoint
+    from kmpc_tpu.train.loop import evaluate_finance
+    from kmpc_tpu.utils.checkpoint import load_params_any
 
     run_dir = Path(args.run_dir)
+    torch_cache = {}  # pt filename -> loaded payload (avoid double loads)
     if (run_dir / "config.json").exists():
         cfg = Config.from_json(str(run_dir / "config.json"))
     else:
@@ -55,7 +56,8 @@ def main():
             raise FileNotFoundError(
                 f"No config.json or {args.checkpoints}.pt under {run_dir}"
             )
-        cfg = load_torch_checkpoint(str(pts[0]))["config"]
+        torch_cache[pts[0].name] = load_torch_checkpoint(str(pts[0]))
+        cfg = torch_cache[pts[0].name]["config"]
     system_name = args.system or cfg.ENV.ENV_NAME
     is_finance = system_name.lower() == "finance"
 
@@ -84,15 +86,24 @@ def main():
         ckpt_dir = run_dir / name
         pt_file = run_dir / f"{name}.pt"
         if (ckpt_dir / "arrays.npz").exists():
-            state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
-            state, meta = load_checkpoint(ckpt_dir, state)
-            params, step = state["params"], meta["step"]
+            params, step, _ = load_params_any(
+                ckpt_dir, cfg, model, seed=cfg.SEED
+            )
         elif pt_file.exists():
             # Reference torch checkpoint (train.py:475-492 format).
-            from kmpc_tpu.utils.torch_import import load_torch_checkpoint
+            if pt_file.name in torch_cache:
+                ckpt = torch_cache[pt_file.name]
+                params = ckpt["params"]
+                step = ckpt.get("step")
+                step = int(step) if step is not None else -1
+            else:
+                params, step, ckpt = load_params_any(pt_file, cfg, model)
+            if is_finance:
+                from kmpc_tpu.utils.torch_import import (
+                    check_finance_compatibility,
+                )
 
-            ckpt = load_torch_checkpoint(str(pt_file))
-            params, step = ckpt["params"], ckpt.get("step")
+                check_finance_compatibility(fd, ckpt)
         else:
             print(f"Skipping {name}: not found at {ckpt_dir} or {pt_file}")
             continue

@@ -17,8 +17,9 @@ paths):
    everywhere: 156k vs 94k solves/s on the H=5/N=30 headline (the scan
    is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
    every iteration), 41.8k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
-   64.2k (1000 iters) vs 66k (500 iters) on the S=16 scenario-Kelly program
-   (``solve_mpc_log_utility_scenarios_packed``).
+   94.7k vs 66k at matched 500 iterations on the S=16 scenario-Kelly
+   program (``solve_mpc_log_utility_scenarios_packed``; 64.2k at the
+   1000-iteration bench setting).
 
 2. ``solve_mpc_log_utility_pallas`` — assets-in-lanes ([TB, H, LANES]
    blocks). Kept for reference/history: padding N=30 to 128 lanes and

@@ -138,3 +138,29 @@ def load_checkpoint_orbax(
     with open(directory / "meta.json") as f:
         meta = json.load(f)
     return state, meta
+
+
+def load_params_any(path, cfg, model, seed: int = 0):
+    """Load model params from EITHER this framework's npz checkpoint dir
+    or a reference torch ``.pt`` file. Returns ``(params, step, ckpt)``
+    where ``ckpt`` is the full loaded payload (meta dict for npz,
+    load_torch_checkpoint dict for .pt). One dispatch point shared by
+    the run_experiment and evaluate_checkpoints CLIs so the two formats
+    cannot drift apart.
+    """
+    import jax
+
+    path = Path(path)
+    if path.is_dir() and (path / "arrays.npz").exists():
+        from kmpc_tpu.train.loop import init_train_state
+
+        state = init_train_state(cfg, model, jax.random.PRNGKey(seed))
+        state, meta = load_checkpoint(path, state)
+        return state["params"], int(meta.get("step", -1)), meta
+    if path.suffix == ".pt" and path.exists():
+        from kmpc_tpu.utils.torch_import import load_torch_checkpoint
+
+        ckpt = load_torch_checkpoint(str(path))
+        step = ckpt.get("step")
+        return ckpt["params"], int(step) if step is not None else -1, ckpt
+    raise FileNotFoundError(f"no checkpoint at {path} (.pt or arrays.npz dir)")

@@ -114,12 +114,24 @@ def load_torch_checkpoint(
     ``observation_size`` is inferred from the encoder input dimension
     when not given.
     """
+    import pickle
+    import warnings
+
     import torch
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # Older checkpoints may embed non-tensor python objects.
+    except (pickle.UnpicklingError, RuntimeError) as e:
+        # weights_only=True rejects checkpoints embedding arbitrary python
+        # objects (older reference runs pickled whole config objects).
+        # Falling back to a full unpickle EXECUTES code from the file —
+        # only do it knowingly, and never to paper over corrupt files.
+        warnings.warn(
+            f"{path} is not loadable with weights_only=True ({e}); "
+            "retrying with weights_only=False, which runs pickled code — "
+            "only proceed for checkpoints you trust.",
+            stacklevel=2,
+        )
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
 
     from kmpc_tpu.config import Config
@@ -157,7 +169,11 @@ def _infer_observation_size(state_dict: Dict, model_name: str) -> int:
             return int(state_dict["lista.We.weight"].shape[1])
         return int(state_dict["dict"].shape[1])
     first = min(
-        (k for k in state_dict if k.startswith("encoder.network.")),
+        (
+            k
+            for k in state_dict
+            if k.startswith("encoder.network.") and k.endswith(".weight")
+        ),
         key=lambda k: int(k.split(".")[2]),
     )
     return int(state_dict[first].shape[1])
@@ -194,3 +210,49 @@ def export_params_to_state_dict(
             emit_mlp("lista.We.network", params["lista"]["We_mlp"])
         return out
     raise ValueError(f"Unknown model '{model_name}'")
+
+
+def check_finance_compatibility(fd, ckpt: Dict) -> None:
+    """Guard the torch-checkpoint drop-in path against silently evaluating
+    a reference-trained model on a mismatched data panel.
+
+    Raises ValueError when the loaded FinanceData disagrees with the
+    checkpoint's ``finance_metadata`` on asset count / embedding dim /
+    observation size (reference metadata contract:
+    data_finance.py:484-497). Warns when the panel is synthetic: this
+    environment has no network access, so unless
+    ``cfg.ENV.FINANCE.CACHE_DIR`` points at the original parquet cache,
+    the standardization stats will not match the checkpoint's training
+    data and backtest metrics are not meaningful.
+    """
+    import warnings
+
+    meta = ckpt.get("finance_metadata") or {}
+    checks = {
+        "n_assets": fd.n_assets,
+        "embedding_dim": fd.metadata.get("embedding_dim"),
+        "observation_size": fd.observation_size,
+    }
+    for key, ours in checks.items():
+        theirs = meta.get(key)
+        if theirs is not None and ours is not None and int(theirs) != int(ours):
+            raise ValueError(
+                f"checkpoint finance_metadata[{key!r}] = {theirs} does not "
+                f"match the loaded data panel ({ours}); point "
+                "ENV.FINANCE.CACHE_DIR at the checkpoint's original data "
+                "or fix the config"
+            )
+    cfg = ckpt.get("config")
+    synthetic = getattr(
+        getattr(getattr(cfg, "ENV", None), "FINANCE", None), "SYNTHETIC", None
+    )
+    if synthetic:
+        warnings.warn(
+            "Evaluating a reference-trained checkpoint on the SYNTHETIC "
+            "finance panel: its standardization stats differ from the "
+            "data the model was trained on, so metrics exercise the "
+            "machinery but are not meaningful. Set "
+            "ENV.FINANCE.CACHE_DIR to the original parquet cache for "
+            "real comparisons.",
+            stacklevel=2,
+        )

@@ -78,20 +78,23 @@ def main():
     from kmpc_tpu.data.finance import load_finance_data
     from kmpc_tpu.models import make_model
     from kmpc_tpu.ops.mpc import MPCParams, mpc_params_from_config
-    from kmpc_tpu.train.loop import init_train_state
-    from kmpc_tpu.utils.checkpoint import load_checkpoint
+    from kmpc_tpu.utils.checkpoint import load_params_any
 
     torch_ckpt = args.torch_ckpt
     if torch_ckpt is None and args.path and args.path.endswith(".pt"):
         torch_ckpt = args.path
     if torch_ckpt is not None:
         # Drop-in path for reference users: a torch.save'd checkpoint.pt.
-        from kmpc_tpu.utils.torch_import import load_torch_checkpoint
+        from kmpc_tpu.utils.torch_import import (
+            check_finance_compatibility,
+            load_torch_checkpoint,
+        )
 
         print(f"Loading reference torch checkpoint from {torch_ckpt}")
         ckpt = load_torch_checkpoint(torch_ckpt)
         cfg, model, params = ckpt["config"], ckpt["model"], ckpt["params"]
         fd = load_finance_data(cfg)
+        check_finance_compatibility(fd, ckpt)
         run_dir = Path(torch_ckpt).parent
         print(f"Loaded model at step {ckpt['step']}")
     else:
@@ -102,12 +105,16 @@ def main():
         print(f"Loading checkpoint from {ckpt_dir}")
 
         cfg = Config.from_json(str(run_dir / "config.json"))
+        if cfg.ENV.ENV_NAME != "finance":
+            raise SystemExit(
+                f"run_experiment backtests finance runs, but {run_dir} was "
+                f"trained on ENV_NAME={cfg.ENV.ENV_NAME!r}; use "
+                "evaluate_checkpoints.py for dynamical-system runs"
+            )
         fd = load_finance_data(cfg)
         model = make_model(cfg, fd.observation_size)
-        state = init_train_state(cfg, model, jax.random.PRNGKey(cfg.SEED))
-        state, meta = load_checkpoint(ckpt_dir, state)
-        params = state["params"]
-        print(f"Loaded model at step {meta['step']}")
+        params, step, _ = load_params_any(ckpt_dir, cfg, model, seed=cfg.SEED)
+        print(f"Loaded model at step {step}")
 
     # CLI flags override the run's config.json MPC/BACKTEST sections.
     horizon = args.horizon if args.horizon is not None else cfg.MPC.HORIZON

@@ -208,3 +208,48 @@ def test_evaluate_checkpoints_cli_torch_ckpt(tmp_path):
     assert (tmp_path / "evaluation_results_checkpoint.json").exists()
     with open(tmp_path / "evaluation_summary.json") as f:
         assert json.load(f)["checkpoint"]["step"] == 3
+
+
+def test_run_experiment_cli(tmp_path):
+    """Synthesize a tiny finance run dir and drive the full-experiment
+    CLI end-to-end (reference: run_experiment.py:33-171; previously
+    untested as a subprocess — the DMD --parallel regression slipped
+    through this gap)."""
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.data.finance import load_finance_data
+    from kmpc_tpu.models import make_model
+    from kmpc_tpu.train.loop import init_train_state
+    from kmpc_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = get_config("finance_sparse")
+    cfg.MODEL.TARGET_SIZE = 16
+    cfg.MODEL.ENCODER.LAYERS = [16]
+    cfg.MODEL.DECODER.LAYERS = [16]
+    cfg.ENV.FINANCE.EMBEDDING_DIM = 2
+    cfg.MPC.SOLVER.MAX_ITERS = 50
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    cfg.to_json(str(run_dir / "config.json"))
+    fd = load_finance_data(cfg)
+    model = make_model(cfg, fd.observation_size)
+    state = init_train_state(cfg, model, jax.random.PRNGKey(0))
+    save_checkpoint(run_dir / "checkpoint", state, step=5,
+                    config_dict=cfg.to_dict())
+
+    res = _run([
+        "run_experiment.py", "--cpu", "--path", str(run_dir),
+        "--parallel", "--sweeps", "3", "--mpc_iters", "50",
+    ])
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert (run_dir / "full_comparison_metrics.csv").exists()
+    assert (run_dir / "equity_curves.png").exists()
+    assert (run_dir / "experiment_results.json").exists()
+    with open(run_dir / "experiment_results.json") as f:
+        results = json.load(f)
+    assert set(results) == {"BuyAndHold", "Markowitz", "DMD", "KoopmanMPC"}
+
+
+def test_run_experiment_cli_rejects_non_finance_run(trained_run):
+    res = _run(["run_experiment.py", "--cpu", "--path", str(trained_run)])
+    assert res.returncode != 0
+    assert "finance" in (res.stderr + res.stdout)

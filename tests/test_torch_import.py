@@ -188,3 +188,38 @@ def test_export_inverse_roundtrip():
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_infer_observation_size_bias_first_ordering():
+    """Key iteration order must not matter (e.g. alphabetical serializers
+    put '.bias' before '.weight')."""
+    from kmpc_tpu.utils.torch_import import _infer_observation_size
+
+    sd = {
+        "encoder.network.0.bias": torch.zeros(16),
+        "encoder.network.0.weight": torch.zeros(16, OBS),
+        "encoder.network.2.weight": torch.zeros(Z, 16),
+        "encoder.network.2.bias": torch.zeros(Z),
+    }
+    assert _infer_observation_size(sd, "GenericKM") == OBS
+
+
+def test_check_finance_compatibility():
+    from kmpc_tpu.utils.torch_import import check_finance_compatibility
+
+    class FakeFD:
+        n_assets = 3
+        observation_size = 12
+        metadata = {"embedding_dim": 4}
+
+    ok = {"finance_metadata": {"n_assets": 3, "embedding_dim": 4,
+                               "observation_size": 12}}
+    check_finance_compatibility(FakeFD(), ok)  # no raise
+
+    bad = {"finance_metadata": {"n_assets": 20}}
+    with pytest.raises(ValueError, match="n_assets"):
+        check_finance_compatibility(FakeFD(), bad)
+
+    cfg = get_config("finance_sparse")  # SYNTHETIC=True by default
+    with pytest.warns(UserWarning, match="SYNTHETIC"):
+        check_finance_compatibility(FakeFD(), {"config": cfg})
