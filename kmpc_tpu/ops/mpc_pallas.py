@@ -28,6 +28,16 @@ paths):
 
 Padded rows/lanes carry r = 0 / w = 0 and are excluded from projections
 via an additive -inf mask, so they can never enter an active set.
+
+Parameter surface and failure semantics match the XLA solver:
+``allow_short`` / ``over_relax != 1`` delegate to
+``solve_mpc_log_utility_batch`` (the kernels implement only the simplex
+projection and plain PDHG), ``proj_warm_iters=0`` runs cold full-budget
+projections, non-finite solves fall back to hold-current-weights
+(reference: mpc.py:113-116), and ``info`` reports the pre-restoration
+``turnover_violation``. Workloads whose working set cannot fit VMEM at
+the minimum 128-lane tile (e.g. S=16 x N=500) also delegate to the XLA
+scan instead of failing the compile.
 """
 
 from __future__ import annotations
@@ -43,10 +53,21 @@ from kmpc_tpu.ops.mpc import (
     MPCParams,
     _log_utility_objective,
     restore_turnover_feasibility,
+    solve_mpc_log_utility_batch,
 )
 
 _LANE = 128
 _NEG = -1e30
+
+
+def _needs_xla_fallback(params: MPCParams) -> bool:
+    """Parameter combinations the fused kernels do not implement.
+
+    ``allow_short`` needs the hyperplane (not simplex) projection and
+    ``over_relax != 1`` changes the iterate recursion; rather than
+    silently solving a DIFFERENT program, the wrappers delegate these to
+    the XLA-scan solver, which supports the full parameter surface."""
+    return params.allow_short or params.over_relax != 1.0
 
 
 def _masked_simplex_threshold(v, neg_mask, radius, num_iters, theta0=None):
@@ -191,6 +212,12 @@ def solve_mpc_log_utility_pallas(
     B, H, N = predicted_log_returns.shape
     lanes = ((N + _LANE - 1) // _LANE) * _LANE
     dtype = jnp.float32
+    if _needs_xla_fallback(params) or params.proj_warm_iters < 1:
+        # This historical kernel implements only the default parameter
+        # surface (simplex projection, plain PDHG, warm thresholds).
+        return solve_mpc_log_utility_batch(
+            current_weights, predicted_log_returns, params
+        )
     if tile_b is None:
         tile_b = _default_tile_b(H, lanes)
 
@@ -226,13 +253,7 @@ def solve_mpc_log_utility_pallas(
 
     w = w_pad[:B, :, :N]
     w_init = current_weights.astype(dtype)
-    if params.max_turnover > 0 and params.restore_feasibility:
-        w = restore_turnover_feasibility(w, w_init, params.max_turnover)
-    info = {
-        "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
-        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
-    }
-    return w, info
+    return _finalize_packed(w, r, w_init, params)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +317,11 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
     tau_to = params.max_turnover
     use_ball = tau_to > 0
     ridge = params.ridge
-    warm_iters = max(params.proj_warm_iters, 1)
+    # proj_warm_iters=0 means "cold full-budget projections every
+    # iteration" (ops/mpc.py:224, 239-240): drop the carried thresholds
+    # and run the cold Michelot budget per projection.
+    warm = params.proj_warm_iters >= 1
+    warm_iters = params.proj_warm_iters if warm else cold_iters
 
     def kernel(cw_ref, r_ref, *rest):
         if warm_start:
@@ -394,12 +419,17 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             if ridge != 0.0:
                 grad = grad + ridge * w
             w_new, th_w = proj_simplex(
-                w - tau_p * (grad + apply_Dt(p)), th_w, warm_iters
+                w - tau_p * (grad + apply_Dt(p)),
+                th_w if warm else None, warm_iters,
             )
             w_bar = 2.0 * w_new - w
-            p_new, th_p = prox_phi_conj(
-                p + sigma * apply_D(w_bar), th_p, warm_iters
+            p_new, th_p_new = prox_phi_conj(
+                p + sigma * apply_D(w_bar),
+                th_p if warm else None, warm_iters,
             )
+            # Keep the carry structure stable: without the turnover ball
+            # (and in cold mode) prox returns its theta0 untouched.
+            th_p = th_p if th_p_new is None else th_p_new
             return (w_new, p_new, th_w, th_p)
 
         # Unrolling this loop 2x measured SLOWER (152k vs 156k on the
@@ -416,12 +446,74 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
     return kernel
 
 
-def _default_tile_b_packed(H: int, NP: int) -> int:
-    """One 128-lane tile. Measured FASTEST at every workload tried
-    (H=5/NP=32: 142k vs 130k at tb=256; H=20: 39.0k vs 36.2k; N=500:
-    11.6k, tb=256 overflows VMEM) — smaller tiles keep the working set
-    near the vector registers and Mosaic's scheduling tight."""
-    return 128
+def _finalize_packed(w, r, w_init, params: MPCParams):
+    """Shared wrapper tail: feasibility restoration, solver-failure
+    hold-weights fallback, and info dict — semantics identical to the
+    XLA solver's tail (ops/mpc.py:266-299; reference failure behavior:
+    mpc.py:113-116). ``r`` may carry a scenario axis [B, S, H, N]."""
+    scen = r.ndim == 4
+    tau_to = params.max_turnover
+    use_ball = tau_to > 0
+
+    u_pre = w - jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
+    if use_ball:
+        to_viol = jnp.max(
+            jnp.maximum(jnp.sum(jnp.abs(u_pre), axis=-1) - tau_to, 0.0),
+            axis=-1,
+        )
+        if params.restore_feasibility:
+            w = restore_turnover_feasibility(w, w_init, tau_to)
+    else:
+        to_viol = jnp.zeros(w.shape[:-2], w.dtype)
+
+    finite = jnp.all(jnp.isfinite(w), axis=(-2, -1))
+    if use_ball and params.restore_feasibility:
+        converged = finite
+    else:
+        converged = finite & (to_viol <= params.feas_tol)
+
+    # Solver-failure fallback: hold current weights (reference:
+    # mpc.py:113-116) instead of letting NaN iterates poison a backtest.
+    hold = jnp.broadcast_to(w_init[:, None, :], w.shape)
+    w = jnp.where(finite[:, None, None], w, hold)
+
+    if scen:
+        port = jnp.sum(w[..., None, :, :] * r, axis=-1)    # [B, S, H]
+        growth = jnp.mean(
+            jnp.sum(jnp.log(jnp.maximum(port, 1e-30)), axis=-1), axis=-1
+        )
+        u = w - jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
+        objective = growth - params.cost_coeff * jnp.sum(
+            jnp.abs(u), axis=(-2, -1)
+        )
+    else:
+        objective = _log_utility_objective(w, r, w_init, params.cost_coeff)
+
+    info = {
+        "objective": objective,
+        "converged": converged,
+        "turnover_violation": to_viol,
+    }
+    return w, info
+
+
+def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None):
+    """One 128-lane tile when it fits. Measured FASTEST at every workload
+    tried (H=5/NP=32: 142k vs 130k at tb=256; H=20: 39.0k vs 36.2k;
+    N=500: 11.6k, tb=256 overflows VMEM with an opaque remote-compile
+    failure) — smaller tiles keep the working set near the vector
+    registers and Mosaic's scheduling tight. The lane axis cannot tile
+    below 128, so when even tb=128 overflows the ~16 MB/core VMEM
+    (e.g. S=16 x N=500, or H=20 x N=500) this returns None and the
+    wrappers fall back to the XLA-scan solver instead of crashing the
+    compile."""
+    tb = 128
+    # Working set: the r block (S copies) + ~7 live f32 iterate/temp
+    # arrays of [H, NP, tb]. 12 MB leaves headroom for Mosaic temporaries
+    # (N=500/H=5 at 10.3 MB measured fine; tb=256's 20.6 MB failed).
+    budget = 12 * 1024 * 1024
+    need = ((S or 1) + 7) * H * NP * tb * 4
+    return tb if need <= budget else None
 
 
 def solve_mpc_log_utility_pallas_packed(
@@ -448,6 +540,15 @@ def solve_mpc_log_utility_pallas_packed(
     dtype = jnp.float32
     if tile_b is None:
         tile_b = _default_tile_b_packed(H, NP)
+    if _needs_xla_fallback(params) or tile_b is None:
+        # Unsupported parameter surface or a working set that cannot fit
+        # VMEM at the minimum 128-lane tile: solve with the XLA scan
+        # (identical program, full parameter support) instead of silently
+        # solving a different program / failing the compile.
+        return solve_mpc_log_utility_batch(
+            current_weights, predicted_log_returns, params,
+            w_warm=w_warm, p_warm=p_warm,
+        )
     # CPU has no Mosaic backend; fall back to interpret mode so callers
     # (tests, --cpu CLIs) can flip the fused path on without branching.
     interpret = interpret or jax.default_backend() == "cpu"
@@ -504,12 +605,7 @@ def solve_mpc_log_utility_pallas_packed(
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
-    if params.max_turnover > 0 and params.restore_feasibility:
-        w = restore_turnover_feasibility(w, w_init, params.max_turnover)
-    info = {
-        "objective": _log_utility_objective(w, r, w_init, params.cost_coeff),
-        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
-    }
+    w, info = _finalize_packed(w, r, w_init, params)
     if return_dual:
         info["dual"] = jnp.transpose(p_pad[:, :N, :B], (2, 0, 1))
     return w, info
@@ -532,7 +628,13 @@ def solve_mpc_log_utility_scenarios_packed(
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
     if tile_b is None:
-        tile_b = _default_tile_b_packed(H, NP)
+        tile_b = _default_tile_b_packed(H, NP, S=S)
+    if _needs_xla_fallback(params) or tile_b is None:
+        from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+        return solve_mpc_log_utility_scenarios(
+            current_weights, scenario_log_returns, params
+        )
     interpret = interpret or jax.default_backend() == "cpu"
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
@@ -564,20 +666,6 @@ def solve_mpc_log_utility_scenarios_packed(
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
-    if params.max_turnover > 0 and params.restore_feasibility:
-        w = restore_turnover_feasibility(w, w_init, params.max_turnover)
-
-    port = jnp.sum(w[..., None, :, :] * r, axis=-1)        # [B, S, H]
-    exp_log_growth = jnp.mean(
-        jnp.sum(jnp.log(jnp.maximum(port, 1e-30)), axis=-1), axis=-1
-    )
-    u = w - jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
-    objective = exp_log_growth - params.cost_coeff * jnp.sum(
-        jnp.abs(u), axis=(-2, -1)
-    )
-    info = {
-        "objective": objective,
-        "converged": jnp.all(jnp.isfinite(w), axis=(-2, -1)),
-        "num_scenarios": S,
-    }
+    w, info = _finalize_packed(w, r, w_init, params)
+    info["num_scenarios"] = S
     return w, info

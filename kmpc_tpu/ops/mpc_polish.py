@@ -238,11 +238,16 @@ def polish_log_utility(
         w_cur = jnp.where(sel, w_try, w_cur)
         p_cur = jnp.where(sel, p_try, p_cur)
 
-    # Final projection: return the primal-feasible point P(vw).
+    # Final projection maps polished primal-dual iterates back to a
+    # primal-feasible point; problems where every Newton step was
+    # rejected keep their INPUT w exactly (the docstring contract) —
+    # an extra PDHG half-step would silently discard the caller's
+    # turnover-feasibility restoration without improving the residual.
     port = jnp.sum(w_cur * r, axis=-1, keepdims=True)
     grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w_cur
     vw = w_cur - tau * (grad + _apply_Dt(p_cur))
-    w_out, _ = _proj_simplex_with_jac(vw)
+    w_proj, _ = _proj_simplex_with_jac(vw)
+    w_out = jnp.where(accepted_any[..., None, None], w_proj, w)
 
     Rw_f, Rp_f, _ = residual_and_masks(w_cur, p_cur)
     res_f = jnp.sqrt(

@@ -58,10 +58,19 @@ def rollout(
         finite = jnp.all(jnp.isfinite(x_pred), axis=-1) & alive
         out = jnp.where(finite[..., None], x_pred, jnp.nan)
 
-        if reencode_period > 0:
-            do_reencode = (step + 1) % reencode_period == 0
-            z_re = model.encode(params, x_pred)
-            nz = jnp.where(do_reencode, z_re, nz)
+        if reencode_period == 1:
+            nz = model.encode(params, x_pred)
+        elif reencode_period > 1:
+            # Real branch, not a select: the scan step index is a scalar,
+            # so the encoder runs only on reencode steps — (period-1)/period
+            # of the encoder passes are skipped entirely. (Under vmap the
+            # cond lowers to a select and merely matches the old cost.)
+            nz = jax.lax.cond(
+                (step + 1) % reencode_period == 0,
+                lambda xz: model.encode(params, xz[0]),
+                lambda xz: xz[1],
+                (x_pred, nz),
+            )
 
         # Freeze exploded samples so overflow doesn't propagate.
         nz = jnp.where(finite[..., None], nz, z)

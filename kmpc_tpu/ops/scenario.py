@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from kmpc_tpu.models.koopman import KoopmanModel
-from kmpc_tpu.ops.mpc import MPCParams, _apply_D, _apply_Dt
+from kmpc_tpu.ops.mpc import (
+    MPCParams,
+    _apply_D,
+    _apply_Dt,
+    restore_turnover_feasibility,
+)
 from kmpc_tpu.ops.projections import (
     project_hyperplane_sum,
     project_simplex,
@@ -52,7 +57,13 @@ def estimate_residual_std(
     """Per-(lead, asset) std of Koopman forecast residuals on validation
     windows. Returns [horizon, n_assets] (raw log-return scale)."""
     T = val_data.shape[0]
-    n = max(T - horizon, 1)
+    if T <= horizon:
+        raise ValueError(
+            f"validation split has {T} rows but residual estimation needs "
+            f"more than horizon={horizon} (each window reads truth at "
+            "t+1..t+H); pass a longer split or a shorter horizon"
+        )
+    n = T - horizon
     take = min(n, max_windows)
     step = max(n // take, 1)
     starts = jnp.arange(0, n, step)[:take]
@@ -178,6 +189,26 @@ def solve_mpc_log_utility_scenarios(
 
     w_last = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
+
+    # Feasibility restoration + convergence semantics identical to the
+    # deterministic solver (ops/mpc.py:266-291): to_viol reports the
+    # pre-restoration slack; restoration makes outputs exactly feasible.
+    u_pre = _apply_D(w_last, w_init)
+    if use_ball:
+        to_viol = jnp.max(
+            jnp.maximum(jnp.sum(jnp.abs(u_pre), axis=-1) - tau_to, 0.0),
+            axis=-1,
+        )
+        if params.restore_feasibility:
+            w_last = restore_turnover_feasibility(w_last, w_init, tau_to)
+    else:
+        to_viol = jnp.zeros(w_last.shape[:-2], dtype)
+
+    if use_ball and params.restore_feasibility:
+        converged = jnp.isfinite(fp_res)
+    else:
+        converged = (to_viol <= params.feas_tol) & jnp.isfinite(fp_res)
+
     failed = ~jnp.isfinite(fp_res)
     hold = jnp.broadcast_to(w_init[..., None, :], w_last.shape)
     w_out = jnp.where(failed[..., None, None], hold, w_last)
@@ -190,7 +221,8 @@ def solve_mpc_log_utility_scenarios(
     objective = exp_log_growth - c * jnp.sum(jnp.abs(u), axis=(-2, -1))
 
     info = {
-        "converged": ~failed,
+        "converged": converged,
+        "turnover_violation": to_viol,
         "fixed_point_residual": fp_res,
         "objective": objective,
         "num_scenarios": S,

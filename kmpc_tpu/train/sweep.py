@@ -71,13 +71,18 @@ def make_sweep_train_step(cfg: Config, model: KoopmanModel, dt: float):
     return jax.jit(vstep, donate_argnums=(0,))
 
 
-def make_fused_sweep_step(cfg: Config, model: KoopmanModel, system):
-    """Sweep step with on-device data generation fused into the jitted
-    program: (stacked_state, key, coeffs [S]) -> (stacked_state, metrics).
+def make_fused_sweep_step(cfg: Config, model: KoopmanModel, system,
+                          steps_per_dispatch: int = 1):
+    """Sweep step with on-device data generation AND ``steps_per_dispatch``
+    optimizer steps fused into ONE jitted program:
+    (stacked_state, data_key, start_step, coeffs [S]) ->
+    (stacked_state, last-step metrics [S]).
 
-    One compiled program per step — the eager per-step reset/RK4 path is
-    ~30 ms/dispatch on remote-execution backends (cf.
-    train/loop.py:make_system_train_step).
+    Per-dispatch relay latency is ~30 ms on remote-execution backends
+    (CLAUDE.md), so a per-step dispatch loop pays minutes of pure latency
+    over a long sweep; fusing K steps amortizes it exactly like
+    train/loop.py's finance path. Per-step batch keys are
+    ``fold_in(data_key, step)`` — bit-identical to the unfused stream.
     """
     tx = build_optimizer(cfg, None)
     B = cfg.TRAIN.BATCH_SIZE
@@ -98,14 +103,25 @@ def make_fused_sweep_step(cfg: Config, model: KoopmanModel, system):
 
     vstep = jax.vmap(single_step, in_axes=(0, None, 0))
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def fused(states, key, coeffs):
+    def one_step(states, key, coeffs):
         if use_seq:
             batch = system.sequence_batch(key, B, T)
         else:
             x = system.reset(key, B)
             batch = (x, system.step(x))
         return vstep(states, batch, coeffs)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused(states, data_key, start_step, coeffs):
+        def body(states, i):
+            bkey = jax.random.fold_in(data_key, start_step + i)
+            return one_step(states, bkey, coeffs)
+
+        states, metrics = jax.lax.scan(
+            body, states, jnp.arange(steps_per_dispatch)
+        )
+        # Report the chunk's LAST step, matching the unfused loop.
+        return states, jax.tree.map(lambda m: m[-1], metrics)
 
     return fused
 
@@ -150,12 +166,29 @@ def run_sparsity_sweep(
     key = jax.random.PRNGKey(cfg.SEED)
     init_key, data_key, eval_key = jax.random.split(key, 3)
     states = stack_states(cfg, model, init_key, S)
-    step_fn = make_fused_sweep_step(cfg, model, system)
 
-    for step in range(cfg.TRAIN.NUM_STEPS):
-        bkey = jax.random.fold_in(data_key, step)
-        states, metrics = step_fn(states, bkey, coeffs)
-        if verbose and step % max(cfg.TRAIN.LOG_INTERVAL, 1) == 0:
+    # Fused multi-step dispatch (chunk-size-cached factories, same scheme
+    # as train/loop.py): log steps land on chunk ends so their metrics
+    # match the per-step loop exactly.
+    from kmpc_tpu.train.loop import _dispatch_chunks
+
+    spd = max(1, int(cfg.TRAIN.STEPS_PER_DISPATCH))
+    fused_cache = {}
+
+    def step_chunk(states, step0, chunk):
+        if chunk not in fused_cache:
+            fused_cache[chunk] = make_fused_sweep_step(
+                cfg, model, system, steps_per_dispatch=chunk
+            )
+        return fused_cache[chunk](states, data_key, step0, coeffs)
+
+    log_every = max(cfg.TRAIN.LOG_INTERVAL, 1)
+    for step0, chunk in _dispatch_chunks(
+        0, cfg.TRAIN.NUM_STEPS, spd, (log_every,)
+    ):
+        states, metrics = step_chunk(states, step0, chunk)
+        step = step0 + chunk - 1
+        if verbose and step % log_every == 0:
             losses = np.asarray(metrics["loss"])
             print(f"sweep step {step}/{cfg.TRAIN.NUM_STEPS} "
                   f"loss[min={losses.min():.4f} max={losses.max():.4f}]")

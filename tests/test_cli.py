@@ -253,3 +253,30 @@ def test_run_experiment_cli_rejects_non_finance_run(trained_run):
     res = _run(["run_experiment.py", "--cpu", "--path", str(trained_run)])
     assert res.returncode != 0
     assert "finance" in (res.stderr + res.stdout)
+
+
+def test_sweep_fused_dispatch_bit_parity(tmp_path):
+    """STEPS_PER_DISPATCH fusing must not change sweep numerics: the
+    per-step batch keys are fold_in(data_key, step) in both modes."""
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.train.sweep import run_sparsity_sweep
+
+    def run(spd, sub):
+        cfg = get_config("generic_sparse")
+        cfg.ENV.ENV_NAME = "duffing"
+        cfg.MODEL.TARGET_SIZE = 8
+        cfg.MODEL.ENCODER.LAYERS = [16]
+        cfg.MODEL.DECODER.LAYERS = [16]
+        cfg.TRAIN.NUM_STEPS = 6
+        cfg.TRAIN.BATCH_SIZE = 8
+        cfg.TRAIN.STEPS_PER_DISPATCH = spd
+        results, _ = run_sparsity_sweep(
+            cfg, [0.0, 0.05], log_dir=str(tmp_path / sub),
+            eval_horizon=5, eval_batch=4, verbose=False,
+        )
+        return results
+
+    a = run(1, "a")
+    b = run(3, "b")
+    np.testing.assert_array_equal(a["no_reencode_mse"], b["no_reencode_mse"])
+    np.testing.assert_array_equal(a["sparsity_ratio"], b["sparsity_ratio"])

@@ -166,3 +166,83 @@ def test_packed_scenarios_match_xla():
     )) < 5e-5
     # Scenario count surfaced for diagnostics.
     assert int(i_pk["num_scenarios"]) == S
+
+
+def test_packed_allow_short_delegates_to_xla():
+    """allow_short needs the hyperplane projection the kernels lack; the
+    wrapper must return the XLA solution, not a silently long-only one."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=6, N=10, seed=3)
+    params = MPCParams(max_iters=400, sigma_scale=2.0, allow_short=True)
+    w_ref, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
+    w_pk, info_pk = solve_mpc_log_utility_pallas_packed(cw, ys, params)
+    np.testing.assert_allclose(np.asarray(w_pk), np.asarray(w_ref), atol=0)
+    # Shorts actually occur somewhere in a 400-iteration unconstrained-sign
+    # solve of noisy returns; if not, this test isn't exercising the path.
+    assert float(jnp.min(w_pk)) < -1e-6 or float(jnp.min(w_ref)) >= 0.0
+
+
+def test_packed_over_relax_delegates_to_xla():
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=4, N=8, seed=4)
+    params = MPCParams(max_iters=300, sigma_scale=2.0, over_relax=1.5)
+    w_ref, _ = solve_mpc_log_utility_batch(cw, ys, params)
+    w_pk, _ = solve_mpc_log_utility_pallas_packed(cw, ys, params)
+    np.testing.assert_allclose(np.asarray(w_pk), np.asarray(w_ref), atol=0)
+
+
+def test_packed_cold_projections_match_xla():
+    """proj_warm_iters=0 = cold full-budget projections each iteration."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=6, N=12, seed=5)
+    params = MPCParams(max_iters=800, sigma_scale=2.0, proj_warm_iters=0)
+    w_ref, _ = solve_mpc_log_utility_batch(cw, ys, params)
+    w_pk, _ = solve_mpc_log_utility_pallas_packed(cw, ys, params)
+    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_pk))) < 5e-4
+
+
+def test_packed_nan_forecast_holds_weights():
+    """A non-finite solve must fall back to hold-current-weights
+    (reference: mpc.py:113-116), matching the XLA solver, instead of
+    poisoning downstream backtests with NaN."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=4, N=10, seed=6)
+    ys = ys.at[1].set(2.0e38)  # r = exp(...) overflows -> NaN iterates
+    params = MPCParams(max_iters=100, sigma_scale=2.0)
+    w, info = solve_mpc_log_utility_pallas_packed(cw, ys, params)
+    assert bool(jnp.all(jnp.isfinite(w)))
+    np.testing.assert_allclose(
+        np.asarray(w[1]), np.broadcast_to(np.asarray(cw[1]), w[1].shape),
+        atol=0,
+    )
+    assert not bool(info["converged"][1])
+    assert bool(info["converged"][0])
+
+
+def test_packed_oversize_working_set_delegates():
+    """A working set over the VMEM budget at the minimum 128-lane tile
+    must fall back to the XLA solver, not fail the compile."""
+    from kmpc_tpu.ops.mpc_pallas import (
+        _default_tile_b_packed,
+        solve_mpc_log_utility_scenarios_packed,
+    )
+
+    assert _default_tile_b_packed(5, 32) == 128
+    assert _default_tile_b_packed(5, 512) == 128
+    assert _default_tile_b_packed(20, 512) is None       # 41 MB > budget
+    assert _default_tile_b_packed(5, 512, S=16) is None  # scenario blow-up
+
+    # Tiny shapes but forced through the scenario wrapper's fallback
+    # branch via an oversize S*H*NP product is too slow for CI; instead
+    # check the wrapper accepts the delegation path on allow_short.
+    rng = np.random.default_rng(7)
+    cw = jnp.asarray(rng.dirichlet(np.ones(6), size=3), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((3, 4, 3, 6)) * 0.01, jnp.float32)
+    params = MPCParams(max_iters=100, sigma_scale=2.0, allow_short=True)
+    w, info = solve_mpc_log_utility_scenarios_packed(cw, scen, params)
+    assert w.shape == (3, 3, 6)
+    assert bool(jnp.all(jnp.isfinite(w)))

@@ -115,3 +115,42 @@ def test_scenario_strategy_backtest():
     df = run_backtest(strat, fd, BacktestConfig(HORIZON=3))
     assert len(df) == fd.test.shape[0] - 3
     assert (df["portfolio_value"] > 0).all()
+
+
+def test_scenario_solver_restores_feasibility():
+    """With restore_feasibility=True (the default) the scenario solver's
+    output must satisfy the turnover cap exactly, matching the
+    deterministic solver and the packed kernel (ops/mpc.py:266-291)."""
+    rng = np.random.default_rng(11)
+    B, S, H, N = 6, 8, 4, 10
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((B, S, H, N)) * 0.05, jnp.float32)
+    params = MPCParams(max_iters=150, sigma_scale=2.0, max_turnover=0.1)
+    w, info = solve_mpc_log_utility_scenarios(cw, scen, params)
+    u = np.asarray(w - jnp.concatenate([cw[:, None, :], w[:, :-1, :]], axis=1))
+    assert np.max(np.abs(u).sum(-1)) <= 0.1 + 1e-5
+    assert "turnover_violation" in info
+    # And the opt-out keeps the raw iterate (possibly infeasible).
+    from dataclasses import replace
+
+    w_raw, info_raw = solve_mpc_log_utility_scenarios(
+        cw, scen, replace(params, restore_feasibility=False)
+    )
+    assert float(info_raw["turnover_violation"].max()) >= 0.0
+
+
+def test_estimate_residual_std_rejects_short_val():
+    import pytest
+
+    from kmpc_tpu.ops.scenario import estimate_residual_std
+
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = 8
+    model = make_model(cfg, 12)
+    params = model.init(jax.random.PRNGKey(0))
+    val = jnp.zeros((5, 12), jnp.float32)
+    with pytest.raises(ValueError, match="validation split"):
+        estimate_residual_std(
+            model, params, val, horizon=5, n_assets=3,
+            mean=jnp.zeros(3), std=jnp.ones(3),
+        )
