@@ -59,8 +59,12 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
     )
 
     # feas_tol reflects the achievable turnover-cap slack at this
-    # iteration budget (~1e-4 at 1000 iters).
-    params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4)
+    # iteration budget (~1e-4 at 1000 iters). proj_refresh_every=16:
+    # one warm Michelot sweep per PDHG iteration with a full refresh
+    # every 16th (+9-23% across workloads; ~5e-5 weight-parity tail,
+    # objective unchanged — see RESULTS.md).
+    params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4,
+                       proj_refresh_every=16)
     solver = {
         "xla": solve_mpc_log_utility_batch,          # pure XLA scan
         "lanes": solve_mpc_log_utility_pallas,       # assets-in-lanes kernel
@@ -99,7 +103,8 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     from kmpc_tpu.ops.mpc import MPCParams
     from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_scenarios_packed
 
-    params = MPCParams(max_iters=iters, sigma_scale=2.0)
+    params = MPCParams(max_iters=iters, sigma_scale=2.0,
+                       proj_refresh_every=16)
 
     @jax.jit
     def solve(cw, scen):
@@ -166,7 +171,8 @@ def bench_backtest(reps, n_dates=4096, n_assets=30, sweeps=8):
     params = model.init(jax.random.PRNGKey(0))
     strat = KoopmanMPCStrategy(
         model=model, params=params,
-        mpc=MPCParams(max_iters=500, sigma_scale=2.0),
+        mpc=MPCParams(max_iters=500, sigma_scale=2.0,
+                      proj_refresh_every=16),
         use_fused_kernel=True,
     )
     bt = BacktestConfig(HORIZON=5)

@@ -194,6 +194,10 @@ class MPCSolverConfig:
     STEP_SCALE: float = 1.0      # primal step safety factor
     POLISH: bool = True          # active-set Newton polish for high-accuracy parity
     POLISH_ITERS: int = 20
+    PROJ_REFRESH_EVERY: int = 0  # >1: packed kernel runs 1 warm Michelot sweep
+                                 # per PDHG iteration + a full-budget refresh
+                                 # every k-th (~1.1x solver speed, ~5e-5
+                                 # weight-parity tail); 0 = full budget always
 
 
 @dataclass

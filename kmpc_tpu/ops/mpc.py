@@ -83,6 +83,15 @@ class MPCParams:
                               # so a warm start needs only a few sweeps instead
                               # of the cold log2(n)-ish budget. 0 = cold
                               # full-budget projections every iteration.
+    proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
+                              # iteration and the full proj_warm_iters budget
+                              # every k-th iteration (packed kernel only).
+                              # Between refreshes the threshold trails the
+                              # active set by one Newton step — an inexact
+                              # prox whose error the periodic full refresh
+                              # re-converges. 0 = every iteration gets the
+                              # full budget (default; the XLA scan always
+                              # uses the full budget).
 
 
 def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
@@ -95,6 +104,7 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         allow_short=cfg.MPC.ALLOW_SHORT,
         max_iters=cfg.MPC.SOLVER.MAX_ITERS,
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
+        proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
     )
     if cfg.MPC.SOLVER.TOL > 0:
         base["feas_tol"] = cfg.MPC.SOLVER.TOL

@@ -413,32 +413,109 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             g = r * (-1.0 / jnp.maximum(port, 1e-12))
             return jnp.mean(g, axis=0)                            # [H,NP,TB]
 
-        def body(_, carry):
-            w, p, th_w, th_p = carry
-            grad = smooth_grad(w)
-            if ridge != 0.0:
-                grad = grad + ridge * w
-            w_new, th_w = proj_simplex(
-                w - tau_p * (grad + apply_Dt(p)),
-                th_w if warm else None, warm_iters,
-            )
-            w_bar = 2.0 * w_new - w
-            p_new, th_p_new = prox_phi_conj(
-                p + sigma * apply_D(w_bar),
-                th_p if warm else None, warm_iters,
-            )
-            # Keep the carry structure stable: without the turnover ball
-            # (and in cold mode) prox returns its theta0 untouched.
-            th_p = th_p if th_p_new is None else th_p_new
-            return (w_new, p_new, th_w, th_p)
+        def make_body(n_sweeps):
+            def body(_, carry):
+                w, p, th_w, th_p = carry
+                grad = smooth_grad(w)
+                if ridge != 0.0:
+                    grad = grad + ridge * w
+                w_new, th_w = proj_simplex(
+                    w - tau_p * (grad + apply_Dt(p)),
+                    th_w if warm else None, n_sweeps,
+                )
+                w_bar = 2.0 * w_new - w
+                p_new, th_p_new = prox_phi_conj(
+                    p + sigma * apply_D(w_bar),
+                    th_p if warm else None, n_sweeps,
+                )
+                # Keep the carry structure stable: without the turnover
+                # ball (and in cold mode) prox returns theta0 untouched.
+                th_p = th_p if th_p_new is None else th_p_new
+                return (w_new, p_new, th_w, th_p)
 
+            return body
+
+        body = make_body(warm_iters)
+        carry0 = (w0, p0, th_w0, th_p0)
+        refresh = params.proj_refresh_every
+
+        def make_body_cond(refresh):
+            # Sweep schedule: one warm Newton sweep unconditionally, then
+            # a scalar `lax.cond` on the iteration index runs the
+            # remaining (warm_iters - 1) sweeps every refresh-th
+            # iteration. The single warm sweep trails a moving active set
+            # by one step; the periodic full refresh re-converges the
+            # threshold, bounding drift (measured: ~5e-5 weight tail,
+            # objective unchanged at 1000 iters). A two-loop-body blocked
+            # variant measured SLOWER (176k vs 182k headline) and
+            # overflowed Mosaic's scoped-VMEM stack at N=500 working
+            # sets; the cond region compiles small and fits everywhere.
+            extra = warm_iters - 1
+
+            def more_sweeps(args):
+                vm, theta = args
+                return _packed_threshold(
+                    vm, 1.0, extra, theta0=theta, n_valid=float(N)
+                )
+
+            def more_sweeps_ball(args):
+                vm, theta = args
+                return _packed_threshold(
+                    vm, tau_to, extra, theta0=theta, n_valid=float(N)
+                )
+
+            def body(i, carry):
+                w, p, th_w, th_p = carry
+                pred = (i % refresh) == 0
+                grad = smooth_grad(w)
+                if ridge != 0.0:
+                    grad = grad + ridge * w
+                vm = (w - tau_p * (grad + apply_Dt(p))) + nm
+                th_w = _packed_threshold(
+                    vm, 1.0, 1, theta0=th_w, n_valid=float(N)
+                )
+                if extra > 0:
+                    th_w = jax.lax.cond(
+                        pred, more_sweeps, lambda a: a[1], (vm, th_w)
+                    )
+                w_new = jnp.maximum(vm - th_w, 0.0)
+                w_bar = 2.0 * w_new - w
+                q = p + sigma * apply_D(w_bar)
+                v = q * inv_sigma
+                sv = jnp.sign(v)
+                a = jnp.maximum(jnp.abs(v) - shrink_t, 0.0)
+                inner = sv * a
+                if use_ball:
+                    l1 = jnp.sum(a, axis=-2, keepdims=True)
+                    am = a + nm
+                    th_p = _packed_threshold(
+                        am, tau_to, 1, theta0=th_p, n_valid=float(N)
+                    )
+                    if extra > 0:
+                        th_p = jax.lax.cond(
+                            pred, more_sweeps_ball, lambda x: x[1],
+                            (am, th_p),
+                        )
+                    proj = sv * jnp.maximum(
+                        a - jnp.maximum(th_p, 0.0), 0.0
+                    )
+                    inner = jnp.where(l1 <= tau_to, inner, proj)
+                p_new = q - sigma * inner
+                return (w_new, p_new, th_w, th_p)
+
+            return body
         # Unrolling this loop 2x measured SLOWER (152k vs 156k on the
         # headline): Mosaic's per-iteration loop overhead is negligible
         # next to the ~50 vector ops in the body, and the larger body
         # hurts scheduling — same conclusion as the XLA-scan unroll.
-        w, p, _, _ = jax.lax.fori_loop(
-            0, params.max_iters, body, (w0, p0, th_w0, th_p0)
-        )
+        if warm and refresh > 1:
+            w, p, _, _ = jax.lax.fori_loop(
+                0, params.max_iters, make_body_cond(refresh), carry0
+            )
+        else:
+            w, p, _, _ = jax.lax.fori_loop(
+                0, params.max_iters, body, carry0
+            )
         out_ref[:] = w * valid2[None]
         if return_dual:
             out_p_ref[:] = p * valid2[None]

@@ -246,3 +246,31 @@ def test_packed_oversize_working_set_delegates():
     w, info = solve_mpc_log_utility_scenarios_packed(cw, scen, params)
     assert w.shape == (3, 3, 6)
     assert bool(jnp.all(jnp.isfinite(w)))
+
+
+def test_packed_refresh_schedule_matches_full_budget():
+    """proj_refresh_every: single warm Newton sweeps between periodic
+    full-budget refreshes must track the full-budget solution within the
+    usual epsilon-optimal tails (measured 5e-5 at 1000 iters on-chip)."""
+    from dataclasses import replace
+
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=6, N=12, seed=8)
+    base = MPCParams(max_iters=400, sigma_scale=2.0)
+    w_full, i_full = solve_mpc_log_utility_pallas_packed(cw, ys, base)
+    w_ref, i_ref = solve_mpc_log_utility_pallas_packed(
+        cw, ys, replace(base, proj_refresh_every=16)
+    )
+    assert np.max(np.abs(np.asarray(w_full) - np.asarray(w_ref))) < 5e-4
+    np.testing.assert_allclose(
+        np.asarray(i_ref["objective"]), np.asarray(i_full["objective"]),
+        atol=1e-5,
+    )
+    # The schedule is a packed-kernel knob: config plumbing carries it.
+    from kmpc_tpu.config import get_config
+    from kmpc_tpu.ops.mpc import mpc_params_from_config
+
+    cfg = get_config("finance_sparse")
+    cfg.MPC.SOLVER.PROJ_REFRESH_EVERY = 8
+    assert mpc_params_from_config(cfg).proj_refresh_every == 8
