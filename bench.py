@@ -13,6 +13,9 @@ mpc.py:108). Target: 10,000 solves/s/chip (BASELINE.json).
     long      H=20 / d=10-style long-horizon MPC
     scenario  4096 dates x Monte-Carlo paths, scenario-averaged Kelly
     assets500 500-asset universe (sweep/Markowitz scale)
+    markowitz mean-variance QP, H=1 per-date rolling Sigma (baseline's program)
+    backtest  parallel Jacobi backtest, dates/s
+    scaling   SPMD partitioning proxy on a virtual 8-device CPU mesh
     train     finance_sparse training step throughput
 
 Timing is synchronized by fetching a scalar checksum to the host —
@@ -128,6 +131,48 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
         "N": N,
         "pdhg_iters": iters,
         "best_batch_time_s": round(best, 4),
+    }
+
+
+def bench_markowitz(batch, iters, reps, H=1, N=30):
+    """Mean-variance (Markowitz) solve throughput on the packed Pallas
+    kernel: the rolling-window baseline's per-date program (reference:
+    baselines.py:24-106 -> mpc.py:119-184), with per-problem covariance
+    blocks resident in VMEM."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    params = MPCParams(max_iters=iters, sigma_scale=2.0, gamma=5.0,
+                       proj_refresh_every=16)
+
+    @jax.jit
+    def solve(cw, mu, sig):
+        w, info = solve_mpc_mean_variance_pallas_packed(cw, mu, sig, params)
+        return info["converged"], jnp.sum(w)
+
+    def make_problems(seed):
+        r = np.random.default_rng(seed)
+        cw = jnp.asarray(r.dirichlet(np.ones(N), size=batch), jnp.float32)
+        mu = jnp.asarray(r.standard_normal((batch, H, N)) * 0.01, jnp.float32)
+        A = r.standard_normal((batch, N, N)) * 0.01
+        sig = jnp.asarray(
+            np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+        )
+        return cw, mu, sig
+
+    best, (conv, _) = _timed(solve, make_problems, reps)
+    return {
+        "value": batch / best,
+        "batch": batch,
+        "H": H,
+        "N": N,
+        "pdhg_iters": iters,
+        "best_batch_time_s": round(best, 4),
+        "converged_frac": float(np.mean(np.asarray(conv))),
+        "solver": "pallas_batch_in_lanes_mv",
     }
 
 
@@ -327,7 +372,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", type=str, default="mpc",
                     choices=["mpc", "long", "scenario", "assets500", "train",
-                             "backtest", "scaling"])
+                             "backtest", "scaling", "markowitz"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
@@ -363,6 +408,9 @@ def main():
         # Reference: ~1 sequential ECOS solve per date on CPU, O(10-100ms)
         # each -> O(10-100) dates/s; use 100/s as the generous baseline.
         baseline = 100.0
+    elif args.mode == "markowitz":
+        res = bench_markowitz(args.batch or 4096, args.iters, args.reps)
+        metric = "mean_variance_solves_per_s_per_chip_H1_N30"
     elif args.mode == "scaling":
         res = bench_scaling(args.batch or 4096, args.iters, args.reps)
         metric = "spmd_partitioning_efficiency_virtual8_cpu_mesh"

@@ -259,6 +259,8 @@ class MarkowitzStrategy:
     mpc: MPCParams
     lookback_window: int = 60
     min_samples: int = 5
+    use_fused_kernel: bool = False  # batch-in-lanes Pallas MV solver for
+                                    # the all-dates (parallel) path
 
     def precompute(self, fd: FinanceData, horizon: int) -> Dict[str, Any]:
         rets = fd.destandardize_returns(
@@ -291,9 +293,20 @@ class MarkowitzStrategy:
         return target, warm
 
     def rebalance_all(self, aux, current_weights):
-        w, _ = solve_mpc_mean_variance_batch(
-            current_weights, aux["mu"][:, None, :], aux["sigma"], self.mpc
-        )
+        if self.use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_mean_variance_pallas_packed,
+            )
+
+            w, _ = solve_mpc_mean_variance_pallas_packed(
+                current_weights, aux["mu"][:, None, :], aux["sigma"],
+                self.mpc,
+            )
+        else:
+            w, _ = solve_mpc_mean_variance_batch(
+                current_weights, aux["mu"][:, None, :], aux["sigma"],
+                self.mpc,
+            )
         return jnp.where(aux["has_data"][:, None], w[:, 0, :], current_weights)
 
 

@@ -126,10 +126,14 @@ def _make_kernel(params: MPCParams, H: int, cold_iters: int):
             return jnp.maximum(v + nm3 - theta, 0.0), theta
 
         def apply_D(w):
+            if H == 1:   # Mosaic rejects the 0-size w[:, :-1] slice
+                return w - w_init[:, None, :]
             prev = jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
             return w - prev
 
         def apply_Dt(p):
+            if H == 1:
+                return p
             nxt = jnp.concatenate(
                 [p[:, 1:, :], jnp.zeros_like(p[:, :1, :])], axis=1
             )
@@ -364,10 +368,14 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             return jnp.maximum(vm - theta, 0.0), theta
 
         def apply_D(w):
+            if H == 1:   # Mosaic rejects the 0-size w[:-1] slice
+                return w - w_init[None]
             prev = jnp.concatenate([w_init[None], w[:-1]], axis=0)
             return w - prev
 
         def apply_Dt(p):
+            if H == 1:
+                return p
             nxt = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
             return p - nxt
 
@@ -746,3 +754,206 @@ def solve_mpc_log_utility_scenarios_packed(
     w, info = _finalize_packed(w, r, w_init, params)
     info["num_scenarios"] = S
     return w, info
+
+# ---------------------------------------------------------------------------
+# Mean-variance packed kernel (Markowitz baseline's program)
+# ---------------------------------------------------------------------------
+
+
+def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
+                           cold_iters: int):
+    """Mean-variance PDHG kernel, batch-in-lanes layout.
+
+        min_w  sum_t [gamma w_t' Sigma w_t - w_t.mu_t] + c sum_t ||u_t||_1
+        s.t.   w_t in simplex
+
+    Same iteration as ops/mpc.py::solve_mpc_mean_variance_batch (the
+    reference MV program has no turnover ball, reference: mpc.py:144-171,
+    so the dual prox is a plain clip). Per-problem Sigma rides VMEM as
+    [NPm, NPn, TB]; the quadratic gradient Sigma @ w_t is a
+    sublane-broadcast multiply + n-axis reduction per horizon step.
+    """
+    c = params.cost_coeff
+    gamma = params.gamma
+    warm = params.proj_warm_iters >= 1
+    warm_iters = params.proj_warm_iters if warm else cold_iters
+    refresh = params.proj_refresh_every
+
+    def kernel(cw_ref, mu_ref, sig_ref, out_ref):
+        mu = mu_ref[:]                                     # [H, NP, TB]
+        w_init = cw_ref[:]                                 # [NP, TB]
+        Sigma = sig_ref[:]                                 # [NPm, NPn, TB]
+        TB = mu.shape[-1]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (NP, TB), 0)
+        valid2 = (row < N).astype(mu.dtype)
+        nm = jnp.where(row < N, 0.0, _NEG).astype(mu.dtype)[None]
+
+        # L_g = 2 gamma ||Sigma||_2 <= 2 gamma ||Sigma||_F (padded
+        # rows/cols carry zeros). Same bound as the XLA solver.
+        fro = jnp.sqrt(jnp.sum(Sigma * Sigma, axis=(0, 1)))[None, None]
+        L = jnp.maximum(2.0 * gamma * fro, 1e-6)           # [1, 1, TB]
+        sigma = params.sigma_scale * jnp.sqrt(L + 1.0) / 2.0
+        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+
+        def apply_D(w):
+            if H == 1:   # Mosaic rejects the 0-size w[:-1] slice
+                return w - w_init[None]
+            prev = jnp.concatenate([w_init[None], w[:-1]], axis=0)
+            return w - prev
+
+        def apply_Dt(p):
+            if H == 1:
+                return p
+            nxt = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
+            return p - nxt
+
+        def grad_g(w):
+            # (Sigma @ w_t)[m, b] = sum_n Sigma[m, n, b] w_t[n, b];
+            # static unroll over the horizon (H is small).
+            quad = jnp.stack([
+                jnp.sum(Sigma * w[h][None], axis=1) for h in range(H)
+            ])
+            return 2.0 * gamma * quad - mu
+
+        def proj_simplex(v, theta0, n_sweeps):
+            vm = v + nm
+            theta = _packed_threshold(
+                vm, 1.0, n_sweeps, theta0=theta0, n_valid=float(N)
+            )
+            return jnp.maximum(vm - theta, 0.0), theta
+
+        w0, th_w0 = proj_simplex(
+            jnp.broadcast_to(w_init[None], (H, NP, TB)), None, cold_iters
+        )
+        p0 = jnp.zeros_like(w0)
+
+        def more_sweeps(args):
+            vm, theta = args
+            return _packed_threshold(
+                vm, 1.0, warm_iters - 1, theta0=theta, n_valid=float(N)
+            )
+
+        def body(i, carry):
+            w, p, th_w = carry
+            vm = (w - tau_p * (grad_g(w) + apply_Dt(p))) + nm
+            if warm and refresh > 1:
+                th_w = _packed_threshold(
+                    vm, 1.0, 1, theta0=th_w, n_valid=float(N)
+                )
+                if warm_iters > 1:
+                    th_w = jax.lax.cond(
+                        (i % refresh) == 0, more_sweeps,
+                        lambda a: a[1], (vm, th_w),
+                    )
+            else:
+                th_w = _packed_threshold(
+                    vm, 1.0, warm_iters,
+                    theta0=th_w if warm else None, n_valid=float(N),
+                )
+            w_new = jnp.maximum(vm - th_w, 0.0)
+            w_bar = 2.0 * w_new - w
+            p_new = jnp.clip(p + sigma * apply_D(w_bar), -c, c)
+            return (w_new, p_new, th_w)
+
+        w, p, _ = jax.lax.fori_loop(
+            0, params.max_iters, body, (w0, p0, th_w0)
+        )
+        # One extra primal half-step so the wrapper can report the same
+        # fixed-point residual / final iterate as the XLA solver.
+        w_last, _ = proj_simplex(
+            w - tau_p * (grad_g(w) + apply_Dt(p)), None, cold_iters
+        )
+        out_ref[:] = jnp.stack([w, w_last]) * valid2[None, None]
+
+    return kernel
+
+
+def solve_mpc_mean_variance_pallas_packed(
+    current_weights: jax.Array,
+    predicted_log_returns: jax.Array,
+    cov_matrix: jax.Array,
+    params: MPCParams,
+    tile_b: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batch-in-lanes fused mean-variance solve (Markowitz's program):
+    [B, N] x [B, H, N] x [B or none, N, N] -> ([B, H, N], info).
+
+    Numerics and info keys match solve_mpc_mean_variance_batch. Falls
+    back to the XLA solver for allow_short / over_relax, and when the
+    per-problem covariance block cannot fit VMEM at the 128-lane tile
+    (Sigma alone is NP*NP*128*4 bytes: fine to N~128, hopeless at 500).
+    """
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+
+    B, H, N = predicted_log_returns.shape
+    NP = ((N + 7) // 8) * 8
+    dtype = jnp.float32
+    if tile_b is None:
+        # Sigma block + ~6 live [H, NP, TB] iterate arrays within ~8 MB.
+        need = (NP * NP + 6 * H * NP) * 128 * 4
+        tile_b = 128 if need <= 8 * 1024 * 1024 else None
+    if _needs_xla_fallback(params) or tile_b is None:
+        return solve_mpc_mean_variance_batch(
+            current_weights, predicted_log_returns, cov_matrix, params
+        )
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    Bp = ((B + tile_b - 1) // tile_b) * tile_b
+    mu = predicted_log_returns.astype(dtype)
+    Sigma = 0.5 * (cov_matrix + jnp.swapaxes(cov_matrix, -1, -2))
+    Sigma = jnp.broadcast_to(Sigma.astype(dtype), (B, N, N))
+
+    mu_pad = jnp.pad(jnp.transpose(mu, (1, 2, 0)),
+                     ((0, 0), (0, NP - N), (0, Bp - B)))
+    sig_pad = jnp.pad(jnp.transpose(Sigma, (1, 2, 0)),
+                      ((0, NP - N), (0, NP - N), (0, Bp - B)))
+    cw_pad = jnp.pad(jnp.transpose(current_weights.astype(dtype), (1, 0)),
+                     ((0, NP - N), (0, Bp - B)))
+
+    cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
+    kernel = _make_packed_mv_kernel(params, H, N, NP, cold_iters)
+    grid = (Bp // tile_b,)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, H, NP, Bp), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NP, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, NP, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, H, NP, tile_b), lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(cw_pad, mu_pad, sig_pad)
+
+    w = jnp.transpose(out[0, :, :N, :B], (2, 0, 1))        # [B, H, N]
+    w_last = jnp.transpose(out[1, :, :N, :B], (2, 0, 1))
+    w_init = current_weights.astype(dtype)
+
+    # Same tail as the XLA solver (fp residual from the extra half-step,
+    # hold-weights failure fallback, objective).
+    fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
+    converged = jnp.isfinite(fp_res)
+    hold = jnp.broadcast_to(w_init[:, None, :], w_last.shape)
+    w_out = jnp.where(converged[:, None, None], w_last, hold)
+
+    u = w_out - jnp.concatenate(
+        [w_init[:, None, :], w_out[:, :-1, :]], axis=1
+    )
+    obj = (
+        jnp.einsum("btn,btn->b", w_out, mu)
+        - params.gamma * jnp.einsum("btn,bnm,btm->b", w_out, Sigma, w_out)
+        - params.cost_coeff * jnp.sum(jnp.abs(u), axis=(-2, -1))
+    )
+    info = {"converged": converged, "fixed_point_residual": fp_res,
+            "objective": obj}
+    return w_out, info

@@ -42,6 +42,10 @@ def main():
     parser.add_argument("--risk_aversion", type=float, default=1.0)
     parser.add_argument("--mpc_iters", type=int, default=None,
                         help="default: the run config's MPC.SOLVER.MAX_ITERS")
+    parser.add_argument("--fused", action="store_true",
+                        help="route the parallel backtest's batched solves "
+                             "through the packed Pallas kernels (log-utility, "
+                             "scenario Kelly, and mean-variance)")
     parser.add_argument("--parallel", action="store_true",
                         help="use the Jacobi parallel backtest path")
     parser.add_argument("--scenarios", type=int, default=0,
@@ -145,13 +149,17 @@ def main():
     strategies = {
         "BuyAndHold": BuyAndHoldStrategy(),
         "Markowitz": MarkowitzStrategy(
-            mpc=mv_mpc, lookback_window=bt_cfg.LOOKBACK_WINDOW),
-        "DMD": DMDStrategy(mpc=mpc),
-        "KoopmanMPC": KoopmanMPCStrategy(model=model, params=params, mpc=mpc),
+            mpc=mv_mpc, lookback_window=bt_cfg.LOOKBACK_WINDOW,
+            use_fused_kernel=args.fused),
+        "DMD": DMDStrategy(mpc=mpc, use_fused_kernel=args.fused),
+        "KoopmanMPC": KoopmanMPCStrategy(
+            model=model, params=params, mpc=mpc,
+            use_fused_kernel=args.fused),
     }
     if args.scenarios > 0:
         strategies["ScenarioKelly"] = ScenarioKoopmanMPCStrategy(
             model=model, params=params, mpc=mpc, num_scenarios=args.scenarios,
+            use_fused_kernel=args.fused,
         )
 
     out_dir = Path(args.output) if args.output else run_dir

@@ -274,3 +274,84 @@ def test_packed_refresh_schedule_matches_full_budget():
     cfg = get_config("finance_sparse")
     cfg.MPC.SOLVER.PROJ_REFRESH_EVERY = 8
     assert mpc_params_from_config(cfg).proj_refresh_every == 8
+
+
+def test_packed_mean_variance_matches_xla():
+    """Packed MV kernel (Markowitz's program) vs the XLA solver: same
+    iteration, same info keys, tight parity (the MV objective is a real
+    QP — no flat-face degeneracy)."""
+    from dataclasses import replace
+
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    rng = np.random.default_rng(12)
+    B, H, N = 6, 4, 10
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((B, N, N)) * 0.05
+    Sig = jnp.asarray(
+        np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+    )
+    p = MPCParams(max_iters=1200, sigma_scale=2.0, gamma=5.0)
+    w_x, i_x = solve_mpc_mean_variance_batch(cw, mu, Sig, p)
+    w_pk, i_pk = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
+    assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_pk))) < 5e-5
+    np.testing.assert_allclose(
+        np.asarray(i_pk["objective"]), np.asarray(i_x["objective"]),
+        atol=1e-6,
+    )
+    assert bool(jnp.all(i_pk["converged"]))
+    # Sweep schedule (H=1 = the Markowitz shape) stays on the program.
+    w_r, _ = solve_mpc_mean_variance_pallas_packed(
+        cw, mu[:, :1], Sig, replace(p, proj_refresh_every=16)
+    )
+    w_x1, _ = solve_mpc_mean_variance_batch(cw, mu[:, :1], Sig, p)
+    assert np.max(np.abs(np.asarray(w_r) - np.asarray(w_x1))) < 5e-5
+
+
+def test_packed_mean_variance_fallbacks():
+    """allow_short and oversize-Sigma working sets delegate to the XLA
+    solver bit-exactly."""
+    from dataclasses import replace
+
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    rng = np.random.default_rng(13)
+    B, H, N = 4, 3, 8
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((B, N, N)) * 0.05
+    Sig = jnp.asarray(
+        np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+    )
+    p = MPCParams(max_iters=300, sigma_scale=2.0, gamma=5.0,
+                  allow_short=True)
+    w_pk, _ = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
+    w_x, _ = solve_mpc_mean_variance_batch(cw, mu, Sig, p)
+    np.testing.assert_allclose(np.asarray(w_pk), np.asarray(w_x), atol=0)
+    # Oversize Sigma (N=500 -> 130 MB/lane-tile) must not crash: force
+    # the size gate with tile_b=None default on a fake-large N via the
+    # wrapper's own estimate (checked statically here).
+    NP = ((500 + 7) // 8) * 8
+    assert (NP * NP + 6 * 5 * NP) * 128 * 4 > 8 * 1024 * 1024
+
+
+def test_markowitz_fused_matches_unfused():
+    from kmpc_tpu.backtest.engine import MarkowitzStrategy
+
+    rng = np.random.default_rng(14)
+    T, N = 40, 6
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=T), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((T, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((T, N, N)) * 0.05
+    sig = jnp.asarray(
+        np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+    )
+    aux = {"mu": mu, "sigma": sig,
+           "has_data": jnp.arange(T) >= 5}
+    p = MPCParams(max_iters=600, sigma_scale=2.0, gamma=5.0)
+    w_ref = MarkowitzStrategy(mpc=p).rebalance_all(aux, cw)
+    w_fused = MarkowitzStrategy(mpc=p, use_fused_kernel=True).rebalance_all(aux, cw)
+    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_fused))) < 5e-5
