@@ -100,7 +100,9 @@ def _make_kernel(params: MPCParams, H: int, cold_iters: int):
     tau_to = params.max_turnover
     use_ball = tau_to > 0
     ridge = params.ridge
-    warm_iters = max(params.proj_warm_iters, 1)
+    # proj_warm_iters < 1 never reaches this factory — the wrapper
+    # delegates cold-projection mode to the XLA solver.
+    warm_iters = params.proj_warm_iters
 
     def kernel(cw_ref, r_ref, negmask_ref, out_ref):
         r = r_ref[:]                                       # [TB, H, LANES]
@@ -219,9 +221,10 @@ def solve_mpc_log_utility_pallas(
     if _needs_xla_fallback(params) or params.proj_warm_iters < 1:
         # This historical kernel implements only the default parameter
         # surface (simplex projection, plain PDHG, warm thresholds).
-        return solve_mpc_log_utility_batch(
+        w, info = solve_mpc_log_utility_batch(
             current_weights, predicted_log_returns, params
         )
+        return w, _match_packed_info(info)
     if tile_b is None:
         tile_b = _default_tile_b(H, lanes)
 
@@ -306,6 +309,25 @@ def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
             theta = body(i, theta)
         return theta
     return jax.lax.fori_loop(0, num_iters, body, theta)
+
+
+def _sched_threshold(vm, radius, theta0, pred, extra, N):
+    """Scheduled warm Michelot threshold, shared by the packed kernels'
+    refresh bodies: one warm Newton sweep unconditionally, then a scalar
+    ``lax.cond`` on ``pred`` (the refresh-iteration predicate) runs the
+    remaining ``extra`` sweeps. See _make_packed_kernel.make_body_cond
+    for the schedule's accuracy/VMEM rationale."""
+    theta = _packed_threshold(vm, radius, 1, theta0=theta0, n_valid=float(N))
+    if extra > 0:
+        theta = jax.lax.cond(
+            pred,
+            lambda a: _packed_threshold(
+                a[0], radius, extra, theta0=a[1], n_valid=float(N)
+            ),
+            lambda a: a[1],
+            (vm, theta),
+        )
+    return theta
 
 
 def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
@@ -460,18 +482,6 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # sets; the cond region compiles small and fits everywhere.
             extra = warm_iters - 1
 
-            def more_sweeps(args):
-                vm, theta = args
-                return _packed_threshold(
-                    vm, 1.0, extra, theta0=theta, n_valid=float(N)
-                )
-
-            def more_sweeps_ball(args):
-                vm, theta = args
-                return _packed_threshold(
-                    vm, tau_to, extra, theta0=theta, n_valid=float(N)
-                )
-
             def body(i, carry):
                 w, p, th_w, th_p = carry
                 pred = (i % refresh) == 0
@@ -479,13 +489,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 if ridge != 0.0:
                     grad = grad + ridge * w
                 vm = (w - tau_p * (grad + apply_Dt(p))) + nm
-                th_w = _packed_threshold(
-                    vm, 1.0, 1, theta0=th_w, n_valid=float(N)
-                )
-                if extra > 0:
-                    th_w = jax.lax.cond(
-                        pred, more_sweeps, lambda a: a[1], (vm, th_w)
-                    )
+                th_w = _sched_threshold(vm, 1.0, th_w, pred, extra, N)
                 w_new = jnp.maximum(vm - th_w, 0.0)
                 w_bar = 2.0 * w_new - w
                 q = p + sigma * apply_D(w_bar)
@@ -495,15 +499,9 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 inner = sv * a
                 if use_ball:
                     l1 = jnp.sum(a, axis=-2, keepdims=True)
-                    am = a + nm
-                    th_p = _packed_threshold(
-                        am, tau_to, 1, theta0=th_p, n_valid=float(N)
+                    th_p = _sched_threshold(
+                        a + nm, tau_to, th_p, pred, extra, N
                     )
-                    if extra > 0:
-                        th_p = jax.lax.cond(
-                            pred, more_sweeps_ball, lambda x: x[1],
-                            (am, th_p),
-                        )
                     proj = sv * jnp.maximum(
                         a - jnp.maximum(th_p, 0.0), 0.0
                     )
@@ -582,7 +580,8 @@ def _finalize_packed(w, r, w_init, params: MPCParams):
     return w, info
 
 
-def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None):
+def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None,
+                           extra_blocks: int = 0):
     """One 128-lane tile when it fits. Measured FASTEST at every workload
     tried (H=5/NP=32: 142k vs 130k at tb=256; H=20: 39.0k vs 36.2k;
     N=500: 11.6k, tb=256 overflows VMEM with an opaque remote-compile
@@ -591,14 +590,38 @@ def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None):
     below 128, so when even tb=128 overflows the ~16 MB/core VMEM
     (e.g. S=16 x N=500, or H=20 x N=500) this returns None and the
     wrappers fall back to the XLA-scan solver instead of crashing the
-    compile."""
+    compile. ``extra_blocks`` counts additional [H, NP, tb] VMEM blocks
+    the caller declares beyond the base (warm-start inputs, dual
+    output)."""
     tb = 128
     # Working set: the r block (S copies) + ~7 live f32 iterate/temp
-    # arrays of [H, NP, tb]. 12 MB leaves headroom for Mosaic temporaries
-    # (N=500/H=5 at 10.3 MB measured fine; tb=256's 20.6 MB failed).
+    # arrays of [H, NP, tb] + caller-declared extras. 12 MB leaves
+    # headroom for Mosaic temporaries (N=500/H=5 at 10.3 MB measured
+    # fine; tb=256's 20.6 MB failed).
     budget = 12 * 1024 * 1024
-    need = ((S or 1) + 7) * H * NP * tb * 4
+    need = ((S or 1) + 7 + extra_blocks) * H * NP * tb * 4
     return tb if need <= budget else None
+
+
+def _match_packed_info(info, return_dual: bool = False,
+                       num_scenarios: Optional[int] = None):
+    """Restrict an XLA solver's info dict to the packed wrappers' keys.
+
+    The fallback paths must return the SAME info pytree structure as the
+    kernel paths — `jax.shard_map` callers (parallel/mesh.py) declare
+    out_specs for the packed keys, and a parameter-dependent extra key
+    ('fixed_point_residual', an unconditional 'dual') would make the
+    fallback a structure-breaking change rather than a drop-in."""
+    out = {
+        "objective": info["objective"],
+        "converged": info["converged"],
+        "turnover_violation": info["turnover_violation"],
+    }
+    if return_dual:
+        out["dual"] = info["dual"]
+    if num_scenarios is not None:
+        out["num_scenarios"] = num_scenarios
+    return out
 
 
 def solve_mpc_log_utility_pallas_packed(
@@ -623,17 +646,22 @@ def solve_mpc_log_utility_pallas_packed(
     B, H, N = predicted_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
+    warm_start = w_warm is not None
     if tile_b is None:
-        tile_b = _default_tile_b_packed(H, NP)
+        tile_b = _default_tile_b_packed(
+            H, NP,
+            extra_blocks=(2 if warm_start else 0) + (1 if return_dual else 0),
+        )
     if _needs_xla_fallback(params) or tile_b is None:
         # Unsupported parameter surface or a working set that cannot fit
         # VMEM at the minimum 128-lane tile: solve with the XLA scan
         # (identical program, full parameter support) instead of silently
         # solving a different program / failing the compile.
-        return solve_mpc_log_utility_batch(
+        w, info = solve_mpc_log_utility_batch(
             current_weights, predicted_log_returns, params,
             w_warm=w_warm, p_warm=p_warm,
         )
+        return w, _match_packed_info(info, return_dual=return_dual)
     # CPU has no Mosaic backend; fall back to interpret mode so callers
     # (tests, --cpu CLIs) can flip the fused path on without branching.
     interpret = interpret or jax.default_backend() == "cpu"
@@ -646,7 +674,6 @@ def solve_mpc_log_utility_pallas_packed(
     cw_t = jnp.transpose(current_weights.astype(dtype), (1, 0))
     cw_pad = jnp.pad(cw_t, ((0, NP - N), (0, Bp - B)))
 
-    warm_start = w_warm is not None
     cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
     kernel = _make_packed_kernel(params, H, N, NP, cold_iters,
                                  warm_start=warm_start,
@@ -717,9 +744,10 @@ def solve_mpc_log_utility_scenarios_packed(
     if _needs_xla_fallback(params) or tile_b is None:
         from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
 
-        return solve_mpc_log_utility_scenarios(
+        w, info = solve_mpc_log_utility_scenarios(
             current_weights, scenario_log_returns, params
         )
+        return w, _match_packed_info(info, num_scenarios=S)
     interpret = interpret or jax.default_backend() == "cpu"
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
@@ -828,24 +856,13 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
         )
         p0 = jnp.zeros_like(w0)
 
-        def more_sweeps(args):
-            vm, theta = args
-            return _packed_threshold(
-                vm, 1.0, warm_iters - 1, theta0=theta, n_valid=float(N)
-            )
-
         def body(i, carry):
             w, p, th_w = carry
             vm = (w - tau_p * (grad_g(w) + apply_Dt(p))) + nm
             if warm and refresh > 1:
-                th_w = _packed_threshold(
-                    vm, 1.0, 1, theta0=th_w, n_valid=float(N)
+                th_w = _sched_threshold(
+                    vm, 1.0, th_w, (i % refresh) == 0, warm_iters - 1, N
                 )
-                if warm_iters > 1:
-                    th_w = jax.lax.cond(
-                        (i % refresh) == 0, more_sweeps,
-                        lambda a: a[1], (vm, th_w),
-                    )
             else:
                 th_w = _packed_threshold(
                     vm, 1.0, warm_iters,

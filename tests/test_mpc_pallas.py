@@ -178,9 +178,10 @@ def test_packed_allow_short_delegates_to_xla():
     w_ref, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
     w_pk, info_pk = solve_mpc_log_utility_pallas_packed(cw, ys, params)
     np.testing.assert_allclose(np.asarray(w_pk), np.asarray(w_ref), atol=0)
-    # Shorts actually occur somewhere in a 400-iteration unconstrained-sign
-    # solve of noisy returns; if not, this test isn't exercising the path.
-    assert float(jnp.min(w_pk)) < -1e-6 or float(jnp.min(w_ref)) >= 0.0
+    # Shorts actually occur in a 400-iteration unconstrained-sign solve
+    # of noisy returns — otherwise this test wouldn't be exercising the
+    # hyperplane (vs simplex) projection path at all.
+    assert float(jnp.min(w_ref)) < -1e-6
 
 
 def test_packed_over_relax_delegates_to_xla():
@@ -235,6 +236,11 @@ def test_packed_oversize_working_set_delegates():
     assert _default_tile_b_packed(5, 512) == 128
     assert _default_tile_b_packed(20, 512) is None       # 41 MB > budget
     assert _default_tile_b_packed(5, 512, S=16) is None  # scenario blow-up
+    # Warm-start inputs + dual output add 3 declared [H, NP, tb] blocks;
+    # the N=500 warm Jacobi path must fall back rather than overflow the
+    # measured VMEM budget.
+    assert _default_tile_b_packed(5, 504, extra_blocks=3) is None
+    assert _default_tile_b_packed(5, 32, extra_blocks=3) == 128
 
     # Tiny shapes but forced through the scenario wrapper's fallback
     # branch via an oversize S*H*NP product is too slow for CI; instead
@@ -355,3 +361,48 @@ def test_markowitz_fused_matches_unfused():
     w_ref = MarkowitzStrategy(mpc=p).rebalance_all(aux, cw)
     w_fused = MarkowitzStrategy(mpc=p, use_fused_kernel=True).rebalance_all(aux, cw)
     assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_fused))) < 5e-5
+
+
+def test_fallback_info_structure_matches_packed():
+    """The XLA-fallback paths must return the SAME info pytree structure
+    as the kernel paths — shard_map callers (parallel/mesh.py) declare
+    out_specs for the packed keys, so a parameter-dependent extra key
+    would crash them instead of delegating."""
+    from dataclasses import replace
+
+    import jax
+
+    from kmpc_tpu.ops.mpc_pallas import (
+        solve_mpc_log_utility_pallas_packed,
+        solve_mpc_log_utility_scenarios_packed,
+    )
+
+    cw, ys = _instance(B=4, N=8, seed=9)
+    base = MPCParams(max_iters=50, sigma_scale=2.0)
+    struct = lambda info: jax.tree_util.tree_structure(info)
+
+    _, i_pk = solve_mpc_log_utility_pallas_packed(cw, ys, base)
+    _, i_fb = solve_mpc_log_utility_pallas_packed(
+        cw, ys, replace(base, allow_short=True)
+    )
+    assert struct(i_pk) == struct(i_fb)
+
+    # With return_dual both paths must carry the dual too.
+    w0 = jnp.zeros_like(ys)
+    _, i_pkd = solve_mpc_log_utility_pallas_packed(
+        cw, ys, base, w_warm=w0, p_warm=w0, return_dual=True
+    )
+    _, i_fbd = solve_mpc_log_utility_pallas_packed(
+        cw, ys, replace(base, over_relax=1.5),
+        w_warm=w0, p_warm=w0, return_dual=True,
+    )
+    assert struct(i_pkd) == struct(i_fbd)
+    assert "dual" in i_pkd and "dual" in i_fbd
+
+    rng = np.random.default_rng(9)
+    scen = jnp.asarray(rng.standard_normal((4, 3, 2, 8)) * 0.01, jnp.float32)
+    _, s_pk = solve_mpc_log_utility_scenarios_packed(cw, scen, base)
+    _, s_fb = solve_mpc_log_utility_scenarios_packed(
+        cw, scen, replace(base, allow_short=True)
+    )
+    assert struct(s_pk) == struct(s_fb)
