@@ -65,6 +65,16 @@ def _load() -> ctypes.CDLL:
         ctypes.c_float,                                     # ridge
         ctypes.POINTER(ctypes.c_float),                     # out
     ]
+    lib.kmpc_solve_mean_variance.restype = ctypes.c_int
+    lib.kmpc_solve_mean_variance.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # current_weights
+        ctypes.POINTER(ctypes.c_float),  # mu
+        ctypes.POINTER(ctypes.c_float),  # sigma_mats
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,           # B, H, N
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,       # gamma, cost, short
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,       # iters, sigma, step
+        ctypes.POINTER(ctypes.c_float),                     # out
+    ]
     lib.kmpc_num_threads.restype = ctypes.c_int
     _lib = lib
     return lib
@@ -116,3 +126,44 @@ def solve_mpc_log_utility_native(
     if ret != 0:
         raise RuntimeError(f"native solver returned {ret}")
     return (out[0] if single else out), info
+
+
+def solve_mpc_mean_variance_native(
+    current_weights: np.ndarray,
+    mu: np.ndarray,
+    sigma_mats: np.ndarray,
+    gamma: float = 1.0,
+    cost_coeff: float = 0.001,
+    allow_short: bool = False,
+    max_iters: int = 2000,
+    sigma_scale: float = 2.0,
+    step_scale: float = 1.0,
+) -> Tuple[np.ndarray, Dict]:
+    """Batched host mean-variance solve (the Markowitz baseline's
+    program; same iteration as ops/mpc.py::solve_mpc_mean_variance_batch
+    in double precision). Accepts [N]/[H,N]/[N,N] or batched
+    [B,N]/[B,H,N]/[B,N,N]; a single [N,N] Sigma broadcasts over B."""
+    lib = _load()
+    cw = np.ascontiguousarray(current_weights, dtype=np.float32)
+    m = np.ascontiguousarray(mu, dtype=np.float32)
+    single = m.ndim == 2
+    if single:
+        cw = cw[None]
+        m = m[None]
+    B, H, N = m.shape
+    sig = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(sigma_mats, dtype=np.float32), (B, N, N))
+    )
+    out = np.empty((B, H, N), dtype=np.float32)
+    ret = lib.kmpc_solve_mean_variance(
+        cw.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        B, H, N,
+        float(gamma), float(cost_coeff), int(allow_short),
+        int(max_iters), float(sigma_scale), float(step_scale),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if ret != 0:
+        raise RuntimeError(f"native MV solver returned {ret}")
+    return (out[0] if single else out), {"status": "optimal"}

@@ -151,9 +151,97 @@ void solve_one(const float* cw, const float* y, int H, int N,
     for (int i = 0; i < n; ++i) out[i] = (float)w[i];
 }
 
+// Mean-variance program (the Markowitz baseline's per-date solve):
+//   min_w  sum_t [gamma w_t' Sigma w_t - w_t.mu_t] + c sum_t ||u_t||_1
+//   s.t.   w_t in simplex
+// Same Condat-Vu splitting as kmpc_tpu/ops/mpc.py's
+// solve_mpc_mean_variance_batch (no turnover ball, reference:
+// mpc.py:144-171, so the dual prox is a plain clip to [-c, c]).
+void solve_one_mv(const float* cw, const float* mu_in, const float* sig_in,
+                  int H, int N, double gamma, double cost_coeff,
+                  bool allow_short, int max_iters, double sigma_scale,
+                  double step_scale, float* out) {
+    const int n = H * N;
+    std::vector<double> mu(n), Sig(N * N), w(n), p(n), w_init(N), grad(n),
+        wn(n), q(N);
+
+    for (int i = 0; i < n; ++i) mu[i] = (double)mu_in[i];
+    for (int j = 0; j < N; ++j) w_init[j] = (double)cw[j];
+    // Symmetrize Sigma (matches the JAX solver).
+    for (int a = 0; a < N; ++a)
+        for (int b = 0; b < N; ++b)
+            Sig[a * N + b] =
+                0.5 * ((double)sig_in[a * N + b] + (double)sig_in[b * N + a]);
+
+    // L_g = 2 gamma ||Sigma||_2 <= 2 gamma ||Sigma||_F.
+    double fro2 = 0.0;
+    for (int i = 0; i < N * N; ++i) fro2 += Sig[i] * Sig[i];
+    const double L = std::max(2.0 * gamma * std::sqrt(fro2), 1e-6);
+    const double sigma = sigma_scale * std::sqrt(L + 1.0) / 2.0;
+    const double tau_p = step_scale / (0.5 * L + sigma * 4.0);
+
+    for (int j = 0; j < N; ++j) q[j] = w_init[j];
+    if (allow_short) project_hyperplane(q.data(), N);
+    else project_simplex(q.data(), N);
+    for (int t = 0; t < H; ++t)
+        for (int j = 0; j < N; ++j) w[t * N + j] = q[j];
+    std::fill(p.begin(), p.end(), 0.0);
+
+    for (int it = 0; it < max_iters; ++it) {
+        for (int t = 0; t < H; ++t) {
+            const double* wt = &w[t * N];
+            for (int m = 0; m < N; ++m) {
+                double quad = 0.0;
+                for (int j = 0; j < N; ++j) quad += Sig[m * N + j] * wt[j];
+                double dtp = p[t * N + m] -
+                             (t + 1 < H ? p[(t + 1) * N + m] : 0.0);
+                grad[t * N + m] = 2.0 * gamma * quad - mu[t * N + m] + dtp;
+            }
+        }
+        for (int t = 0; t < H; ++t) {
+            double* row = &wn[t * N];
+            for (int j = 0; j < N; ++j)
+                row[j] = w[t * N + j] - tau_p * grad[t * N + j];
+            if (allow_short) project_hyperplane(row, N);
+            else project_simplex(row, N);
+        }
+        for (int t = 0; t < H; ++t) {
+            for (int j = 0; j < N; ++j) {
+                double wb = 2.0 * wn[t * N + j] - w[t * N + j];
+                double wb_prev =
+                    (t == 0) ? w_init[j]
+                             : 2.0 * wn[(t - 1) * N + j] - w[(t - 1) * N + j];
+                double pj = p[t * N + j] + sigma * (wb - wb_prev);
+                p[t * N + j] = std::min(std::max(pj, -cost_coeff), cost_coeff);
+            }
+        }
+        std::swap(w, wn);
+    }
+
+    for (int i = 0; i < n; ++i) out[i] = (float)w[i];
+}
+
 }  // namespace
 
 extern "C" {
+
+int kmpc_solve_mean_variance(const float* current_weights, const float* mu,
+                             const float* sigma_mats, int B, int H, int N,
+                             float gamma, float cost_coeff, int allow_short,
+                             int max_iters, float sigma_scale,
+                             float step_scale, float* out_weights) {
+    if (B <= 0 || H <= 0 || N <= 0 || max_iters < 0) return 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < B; ++b) {
+        solve_one_mv(current_weights + (size_t)b * N,
+                     mu + (size_t)b * H * N, sigma_mats + (size_t)b * N * N,
+                     H, N, gamma, cost_coeff, allow_short != 0, max_iters,
+                     sigma_scale, step_scale, out_weights + (size_t)b * H * N);
+    }
+    return 0;
+}
 
 int kmpc_solve_log_utility(const float* current_weights,
                            const float* pred_log_returns, int B, int H, int N,

@@ -82,3 +82,37 @@ def test_native_batch_shapes():
     w, _ = solve_mpc_log_utility_native(cw, ys, max_iters=500)
     assert w.shape == (B, H, N)
     assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
+
+
+def test_native_mean_variance_matches_jax():
+    """Native MV solver (double precision, OpenMP over problems) vs the
+    JAX solver — independent cross-check of the Markowitz program."""
+    import jax.numpy as jnp
+
+    from kmpc_tpu.native import solve_mpc_mean_variance_native
+    from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_mean_variance_batch
+
+    rng = np.random.default_rng(3)
+    B, H, N = 6, 4, 12
+    cw = rng.dirichlet(np.ones(N), size=B).astype(np.float32)
+    mu = (rng.standard_normal((B, H, N)) * 0.01).astype(np.float32)
+    A = rng.standard_normal((B, N, N)) * 0.05
+    Sig = (np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4).astype(
+        np.float32
+    )
+    w_n, info = solve_mpc_mean_variance_native(
+        cw, mu, Sig, gamma=5.0, max_iters=4000
+    )
+    assert info["status"] == "optimal"
+    p = MPCParams(max_iters=4000, sigma_scale=2.0, gamma=5.0)
+    w_x, _ = solve_mpc_mean_variance_batch(
+        jnp.asarray(cw), jnp.asarray(mu), jnp.asarray(Sig), p
+    )
+    assert np.max(np.abs(w_n - np.asarray(w_x))) < 5e-5
+    assert np.allclose(w_n.sum(-1), 1.0, atol=1e-5)
+    assert np.all(w_n >= -1e-7)
+    # Single-problem + broadcast-Sigma convenience shapes.
+    w1, _ = solve_mpc_mean_variance_native(
+        cw[0], mu[0], Sig[0], gamma=5.0, max_iters=2000
+    )
+    assert w1.shape == (H, N)

@@ -96,3 +96,35 @@ def test_orbax_checkpoint_round_trip(tmp_path):
     assert meta["extra"]["note"] == "hi"
     assert np.allclose(np.asarray(restored["params"]["w"]),
                        np.asarray(state["params"]["w"]))
+
+
+def test_orbax_checkpoint_sharded_round_trip(tmp_path):
+    """Sharded save -> restore with shardings preserved: each leaf is
+    laid out over the virtual 8-device mesh, written via Orbax, and
+    restored into the same NamedSharding (SURVEY.md §5 multi-host
+    checkpoint path)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kmpc_tpu.parallel.mesh import make_mesh
+    from kmpc_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    mesh = make_mesh({"data": 4, "scenario": 2, "model": 1})
+    sh = NamedSharding(mesh, P("data", None))
+    w = jax.device_put(jnp.arange(64.0).reshape(8, 8), sh)
+    state = {"params": {"w": w}, "step": jnp.asarray(3, jnp.int32)}
+    save_checkpoint_orbax(tmp_path / "ck", state, step=3)
+
+    like = {
+        "params": {"w": jax.device_put(jnp.zeros((8, 8)), sh)},
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    restored, meta = load_checkpoint_orbax(tmp_path / "ck", like)
+    assert meta["step"] == 3
+    assert restored["params"]["w"].sharding == sh
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(w)
+    )
