@@ -406,3 +406,28 @@ def test_fallback_info_structure_matches_packed():
         cw, scen, replace(base, allow_short=True)
     )
     assert struct(s_pk) == struct(s_fb)
+
+
+def test_packed_mean_variance_shape_fuzz():
+    """MV kernel edge shapes: H=1 (the Markowitz shape, exercises the
+    0-size-slice guard), odd asset counts straddling the sublane tile,
+    batch below the lane tile."""
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    params = MPCParams(max_iters=600, sigma_scale=2.0, gamma=5.0)
+    for seed, (B, H, N) in enumerate([(3, 1, 8), (5, 2, 9), (2, 1, 33)]):
+        rng = np.random.default_rng(20 + seed)
+        cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+        mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+        A = rng.standard_normal((B, N, N)) * 0.05
+        Sig = jnp.asarray(
+            np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+        )
+        w, info = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, params)
+        w_np = np.asarray(w)
+        assert w_np.shape == (B, H, N)
+        assert np.allclose(w_np.sum(-1), 1.0, atol=1e-4), (B, H, N)
+        assert np.all(w_np >= -1e-6), (B, H, N)
+        w_x, _ = solve_mpc_mean_variance_batch(cw, mu, Sig, params)
+        assert np.max(np.abs(w_np - np.asarray(w_x))) < 5e-4, (B, H, N)
