@@ -119,3 +119,45 @@ def test_engine_matches_reference_semantics():
     m_eng = calculate_metrics(df)
     assert abs(m_ref["Sharpe Ratio"] - m_eng["Sharpe Ratio"]) < 0.05
     assert abs(m_ref["Max Drawdown"] - m_eng["Max Drawdown"]) < 0.01
+
+
+def test_fused_parallel_engine_matches_reference_semantics():
+    """The FULL fast path — packed Pallas kernel (interpret mode on CPU),
+    proj_refresh_every sweep schedule, Jacobi parallel backtest with
+    num_sweeps >= #dates — must reproduce the same float64 reference
+    reimplementation the sequential engine is held to."""
+    from kmpc_tpu.backtest.engine import run_backtest_parallel
+
+    fd = _mock_finance_data(T=24, N=6, seed=22)
+    model, params = _tiny_koopman(fd)
+    horizon, cost, tau = 3, 0.001, 0.2
+
+    ref = _reference_style_backtest(model, params, fd, horizon, cost, tau)
+
+    strat = KoopmanMPCStrategy(
+        model=model, params=params,
+        mpc=MPCParams(horizon=horizon, cost_coeff=cost, max_turnover=tau,
+                      max_iters=10000, sigma_scale=2.0,
+                      proj_refresh_every=16),
+        use_fused_kernel=True,
+    )
+    n_dates = fd.test.shape[0] - horizon
+    df = run_backtest_parallel(
+        strat, fd, BacktestConfig(HORIZON=horizon, COST_COEFF=cost),
+        num_sweeps=n_dates,
+    )
+
+    v_ref = ref["portfolio_value"]
+    v_eng = np.asarray(df["portfolio_value"], dtype=np.float64)
+    assert len(v_ref) == len(v_eng)
+    rel = np.max(np.abs(v_eng - v_ref) / v_ref)
+    assert rel < 3e-3, f"wealth trajectory rel err {rel}"
+    t_err = np.abs(np.asarray(df["turnover"]) - ref["turnover"])
+    assert np.median(t_err) < 1.5e-3, np.median(t_err)
+    m_ref = calculate_metrics(
+        {"return": ref["return"], "portfolio_value": ref["portfolio_value"],
+         "turnover": ref["turnover"]}
+    )
+    m_eng = calculate_metrics(df)
+    assert abs(m_ref["Sharpe Ratio"] - m_eng["Sharpe Ratio"]) < 0.05
+    assert abs(m_ref["Max Drawdown"] - m_eng["Max Drawdown"]) < 0.01
