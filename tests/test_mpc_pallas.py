@@ -431,3 +431,26 @@ def test_packed_mean_variance_shape_fuzz():
         assert np.all(w_np >= -1e-6), (B, H, N)
         w_x, _ = solve_mpc_mean_variance_batch(cw, mu, Sig, params)
         assert np.max(np.abs(w_np - np.asarray(w_x))) < 5e-4, (B, H, N)
+
+
+def test_packed_scenarios_refresh_schedule():
+    """The sweep schedule applies to the scenario kernel too (shared
+    factory): refresh=16 must track the full-budget scenario solve."""
+    from dataclasses import replace
+
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_scenarios_packed
+
+    rng = np.random.default_rng(15)
+    B, S, H, N = 5, 4, 3, 10
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((B, S, H, N)) * 0.01, jnp.float32)
+    base = MPCParams(max_iters=400, sigma_scale=2.0)
+    w_full, i_full = solve_mpc_log_utility_scenarios_packed(cw, scen, base)
+    w_ref, i_ref = solve_mpc_log_utility_scenarios_packed(
+        cw, scen, replace(base, proj_refresh_every=16)
+    )
+    assert np.max(np.abs(np.asarray(w_full) - np.asarray(w_ref))) < 5e-4
+    np.testing.assert_allclose(
+        np.asarray(i_ref["objective"]), np.asarray(i_full["objective"]),
+        atol=1e-5,
+    )
