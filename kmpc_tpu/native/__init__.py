@@ -1,10 +1,11 @@
 """ctypes bindings for the native host-side MPC solver.
 
 Builds ``native/mpc_solver.cpp`` on demand with g++ (cached next to the
-source) and exposes :func:`solve_mpc_log_utility_native`. This is the
-framework's native runtime component — the role the ECOS/SCS C solvers
-played for the reference (reference: mpc.py:107-111) — used as a CPU
-fallback and as an independent cross-check of the TPU solver.
+source) and exposes :func:`solve_mpc_log_utility_native` and
+:func:`solve_mpc_mean_variance_native`. This is the framework's native
+runtime component — the role the ECOS/SCS C solvers played for the
+reference (reference: mpc.py:107-111) — used as a CPU fallback and as
+an independent cross-check of the TPU solvers.
 """
 
 from __future__ import annotations
