@@ -350,7 +350,11 @@ def make_backtester(
     :func:`make_parallel_backtester` — a bare ``run_backtest`` call
     builds a fresh closure and therefore recompiles).
     """
-    n_steps = fd.test.shape[0] - config.HORIZON
+    # The reference iterates over len(test_dataset) - horizon dates, and
+    # its Dataset is sequence_length shorter than the raw split
+    # (reference: backtest.py:150, data_finance.py:389) — preserved
+    # exactly, including the freq>1 skip-return quirk.
+    n_steps = fd.test.shape[0] - fd.sequence_length - config.HORIZON
     ts = np.arange(0, n_steps, config.REBALANCE_FREQ)
     aux = strategy.precompute(fd, config.HORIZON)
 
@@ -464,7 +468,10 @@ def make_parallel_backtester(
     less each sweep — so a quarter-budget warm sweep tracks the cold
     fixed point to backtest tolerance at a fraction of the cost.
     """
-    n_steps = fd.test.shape[0] - config.HORIZON
+    # Same date-count contract as make_backtester (reference:
+    # backtest.py:150 over a Dataset sequence_length shorter than the
+    # raw split, data_finance.py:389).
+    n_steps = fd.test.shape[0] - fd.sequence_length - config.HORIZON
     ts = np.arange(0, n_steps, config.REBALANCE_FREQ)
     T = len(ts)
     aux = strategy.precompute(fd, config.HORIZON)

@@ -165,7 +165,7 @@ def main():
     out_dir = Path(args.output) if args.output else run_dir
     out_dir.mkdir(parents=True, exist_ok=True)
     results, curves = {}, {}
-    n_dates = fd.test.shape[0] - bt_cfg.HORIZON
+    n_dates = fd.test.shape[0] - fd.sequence_length - bt_cfg.HORIZON
     sweeps = args.sweeps if args.sweeps > 0 else n_dates
     for name, strat in strategies.items():
         print(f"Backtesting {name}...")

@@ -70,7 +70,7 @@ def test_buy_and_hold_schema_and_mechanics():
     cfg = BacktestConfig(HORIZON=3)
     df = run_backtest(BuyAndHoldStrategy(), fd, cfg)
     assert set(df.columns) == {"date", "portfolio_value", "return", "turnover", "cost"}
-    assert len(df) == fd.test.shape[0] - cfg.HORIZON
+    assert len(df) == fd.test.shape[0] - fd.sequence_length - cfg.HORIZON
     # t=0 rebalances from 1/N to 1/N: zero turnover throughout (drift only).
     assert float(df["turnover"].iloc[0]) < 1e-6
     assert (df["portfolio_value"] > 0).all()
@@ -97,7 +97,7 @@ def test_rebalance_freq():
     fd = _mock_finance_data(T=40)
     cfg = BacktestConfig(HORIZON=3, REBALANCE_FREQ=5)
     df = run_backtest(BuyAndHoldStrategy(), fd, cfg)
-    n_steps = fd.test.shape[0] - cfg.HORIZON
+    n_steps = fd.test.shape[0] - fd.sequence_length - cfg.HORIZON
     assert len(df) == len(range(0, n_steps, 5))
 
 
@@ -223,7 +223,7 @@ def test_koopman_mpc_backtest_runs():
     strat = KoopmanMPCStrategy(model=model, params=params, mpc=FAST_MPC)
     cfg = BacktestConfig(HORIZON=3)
     df = run_backtest(strat, fd, cfg)
-    assert len(df) == fd.test.shape[0] - 3
+    assert len(df) == fd.test.shape[0] - fd.sequence_length - 3
     assert (df["portfolio_value"] > 0).all()
     # Turnover cap respected at every rebalance.
     assert (df["turnover"] <= FAST_MPC.max_turnover + 1e-3).all()

@@ -1,0 +1,604 @@
+"""DIRECT numerical parity against the actual reference implementation.
+
+Unlike test_torch_import.py (hand-built reference-layout twins) and
+test_reference_semantics.py (independent numpy reimplementation), this
+file imports the real PyTorch code from /root/reference, pushes
+IDENTICAL weights and data through both stacks, and asserts value-level
+agreement:
+
+- model forward/loss surface: encode / decode / step_env /
+  rollout_latent_discrete / loss / loss_sequence for GenericKM (id and
+  ball norms) and LISTAKM (linear and MLP pre-activation encoders)
+  (reference: model.py:311-335, 459-525, 527-556, 587-693)
+- finance pipeline: clean -> log-returns -> train-only stats ->
+  embedding -> leak-free splits on one shared price panel
+  (reference: data_finance.py:147-353)
+- backtest loop mechanics + metrics on a shared panel: the reference's
+  own run_backtest (with this repo's scipy trust-constr oracle injected
+  in place of CVXPY, which is not installed) vs the engine's lax.scan
+  path (reference: backtest.py:133-249)
+
+The reference modules have flat top-level names (model, config,
+data_finance, backtest, mpc); they are imported with /root/reference
+prepended to sys.path and a stub cvxpy module (mpc.py imports cvxpy at
+module scope but only touches it inside solve calls).
+"""
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from kmpc_tpu.config import Config, get_config  # noqa: E402
+from kmpc_tpu.models import make_model  # noqa: E402
+from kmpc_tpu.utils.torch_import import convert_state_dict  # noqa: E402
+
+REF_DIR = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference modules (torch CPU; cvxpy stubbed)."""
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+    if "cvxpy" not in sys.modules:
+        stub = types.ModuleType("cvxpy")
+        stub.__kmpc_parity_stub__ = True  # mpc.py imports it at module
+        sys.modules["cvxpy"] = stub      # scope; solves are monkeypatched
+    if "yfinance" not in sys.modules:
+        # download_stock_data imports yfinance before its cache check
+        # (data_finance.py:111); tests always hit the cache, so a stub
+        # whose download() raises keeps the zero-egress guarantee honest.
+        yf_stub = types.ModuleType("yfinance")
+
+        def _no_network(*a, **k):  # pragma: no cover - must never run
+            raise RuntimeError("network download attempted in parity test")
+
+        yf_stub.download = _no_network
+        sys.modules["yfinance"] = yf_stub
+    import backtest as ref_backtest
+    import config as ref_config
+    import data_finance as ref_data
+    import model as ref_model
+    import mpc as ref_mpc
+
+    assert ref_model.__file__.startswith(REF_DIR)
+    return SimpleNamespace(
+        model=ref_model,
+        config=ref_config,
+        data=ref_data,
+        backtest=ref_backtest,
+        mpc=ref_mpc,
+    )
+
+
+OBS, Z = 6, 8
+
+
+def _shrink_ref_cfg(ref_cfg):
+    """Small architecture so tests are fast; same fields on both sides."""
+    ref_cfg.MODEL.TARGET_SIZE = Z
+    ref_cfg.MODEL.ENCODER.LAYERS = [16, 12]
+    ref_cfg.MODEL.DECODER.LAYERS = [12]
+    return ref_cfg
+
+
+def _our_cfg(ref_cfg) -> Config:
+    """Reference Config -> kmpc_tpu Config via the generic from_dict."""
+    cfg = Config.from_dict(ref_cfg.to_dict())
+    assert cfg.MODEL.TARGET_SIZE == ref_cfg.MODEL.TARGET_SIZE
+    assert cfg.MODEL.MODEL_NAME == ref_cfg.MODEL.MODEL_NAME
+    return cfg
+
+
+def _perturb(module, seed=7, scale=0.05):
+    """Give every parameter a random component (identity-initialized kmat
+    and LISTA S would otherwise hide transpose/layout mistakes)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.add_(scale * torch.randn(p.shape, generator=g))
+
+
+def _assert_close(ours, theirs, atol=1e-5, rtol=1e-5, msg=""):
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(theirs), atol=atol, rtol=rtol,
+        err_msg=msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-surface parity (reference: model.py:311-335, 459-693)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("norm_fn", ["id", "ball"])
+def test_generic_km_value_parity(ref, norm_fn):
+    torch.manual_seed(0)
+    ref_cfg = _shrink_ref_cfg(ref.config.get_config("generic"))
+    ref_cfg.MODEL.NORM_FN = norm_fn
+    tm = ref.model.make_model(ref_cfg, OBS)
+    _perturb(tm)
+    tm.eval()
+
+    cfg = _our_cfg(ref_cfg)
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), cfg.MODEL.MODEL_NAME)
+
+    x = torch.randn(5, OBS)
+    nx = torch.randn(5, OBS)
+    xj, nxj = jnp.asarray(x.numpy()), jnp.asarray(nx.numpy())
+
+    with torch.no_grad():
+        _assert_close(model.encode(params, xj), tm.encode(x), msg="encode")
+        z = tm.encode(x)
+        zj = jnp.asarray(z.numpy())
+        _assert_close(model.decode(params, zj), tm.decode(z), msg="decode")
+        _assert_close(
+            model.step_latent(params, zj), tm.step_latent(z), msg="step_latent"
+        )
+        _assert_close(model.step_env(params, xj), tm.step_env(x), msg="step_env")
+        _assert_close(
+            model.rollout_latent_discrete(params, zj, 6),
+            tm.rollout_latent_discrete(z, 6),
+            atol=2e-5,
+            msg="rollout_latent_discrete",
+        )
+        _assert_close(
+            model.rollout_sequence(params, xj, 6),
+            tm.rollout_sequence(x, 6),
+            atol=2e-5,
+            msg="rollout_sequence",
+        )
+        _assert_close(
+            model.residual(params, xj, nxj), tm.residual(x, nx), msg="residual"
+        )
+
+        total_ref, metrics_ref = tm.loss(x, nx)
+        total, metrics = model.loss(params, xj, nxj)
+        _assert_close(float(total), float(total_ref), msg="loss total")
+        for key in ("residual_loss", "reconst_loss", "prediction_loss",
+                    "sparsity_loss", "sparsity_ratio"):
+            _assert_close(
+                float(metrics[key]), float(metrics_ref[key]), msg=f"loss {key}"
+            )
+
+
+def test_generic_km_loss_sequence_parity(ref):
+    torch.manual_seed(1)
+    ref_cfg = _shrink_ref_cfg(ref.config.get_config("generic"))
+    tm = ref.model.make_model(ref_cfg, OBS)
+    _perturb(tm, seed=11)
+    tm.eval()
+
+    cfg = _our_cfg(ref_cfg)
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), cfg.MODEL.MODEL_NAME)
+
+    x_seq = torch.randn(4, 7, OBS)
+    with torch.no_grad():
+        total_ref, metrics_ref = tm.loss_sequence(x_seq)
+    total, metrics = model.loss_sequence(params, jnp.asarray(x_seq.numpy()))
+    _assert_close(float(total), float(total_ref), atol=2e-5,
+                  msg="loss_sequence total")
+    for key in ("residual_loss", "reconst_loss", "prediction_loss",
+                "sparsity_loss", "sparsity_ratio"):
+        _assert_close(float(metrics[key]), float(metrics_ref[key]),
+                      atol=2e-5, msg=f"loss_sequence {key}")
+
+
+@pytest.mark.parametrize("preset", ["lista", "lista_nonlinear"])
+def test_listakm_value_parity(ref, preset):
+    torch.manual_seed(2)
+    ref_cfg = _shrink_ref_cfg(ref.config.get_config(preset))
+    ref_cfg.MODEL.ENCODER.LISTA.NUM_LOOPS = 4
+    ref_cfg.MODEL.ENCODER.LISTA.L = 10.0
+    ref_cfg.MODEL.ENCODER.LISTA.ALPHA = 2.0  # threshold alpha/L = 0.2 so
+    # soft-thresholding actually zeroes some codes (sanity check below)
+    tm = ref.model.make_model(ref_cfg, OBS)
+    _perturb(tm, seed=13, scale=0.2)
+    tm.eval()
+
+    cfg = _our_cfg(ref_cfg)
+    assert (
+        cfg.MODEL.ENCODER.LISTA.LINEAR_ENCODER
+        == ref_cfg.MODEL.ENCODER.LISTA.LINEAR_ENCODER
+    )
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), "LISTAKM")
+
+    x = torch.randn(5, OBS)
+    nx = torch.randn(5, OBS)
+    xj, nxj = jnp.asarray(x.numpy()), jnp.asarray(nx.numpy())
+
+    with torch.no_grad():
+        _assert_close(model.encode(params, xj), tm.encode(x), msg="encode")
+        z = tm.encode(x)
+        assert float((z == 0).float().mean()) > 0.0, "want actual sparsity"
+        zj = jnp.asarray(z.numpy())
+        _assert_close(model.decode(params, zj), tm.decode(z), msg="decode")
+        _assert_close(model.step_env(params, xj), tm.step_env(x), msg="step_env")
+        # LISTAKM sparsity_loss is alpha-weighted (reference: model.py:860-870)
+        _assert_close(
+            float(model.sparsity_loss(params, xj)),
+            float(tm.sparsity_loss(x)),
+            msg="sparsity_loss",
+        )
+
+        total_ref, metrics_ref = tm.loss(x, nx)
+        total, metrics = model.loss(params, xj, nxj)
+        _assert_close(float(total), float(total_ref), msg="loss total")
+        for key in ("residual_loss", "reconst_loss", "prediction_loss",
+                    "sparsity_loss", "sparsity_ratio"):
+            _assert_close(
+                float(metrics[key]), float(metrics_ref[key]), msg=f"loss {key}"
+            )
+
+        # loss_sequence sparsity is NOT alpha-weighted, even for LISTAKM
+        # (base-class inline L1, reference: model.py:658) — assert both
+        # stacks agree on that quirk.
+        x_seq = torch.randn(3, 6, OBS)
+        total_ref, metrics_ref = tm.loss_sequence(x_seq)
+        total, metrics = model.loss_sequence(params, jnp.asarray(x_seq.numpy()))
+        _assert_close(float(total), float(total_ref), atol=2e-5,
+                      msg="loss_sequence total")
+        for key in ("residual_loss", "reconst_loss", "prediction_loss",
+                    "sparsity_loss", "sparsity_ratio"):
+            _assert_close(float(metrics[key]), float(metrics_ref[key]),
+                          atol=2e-5, msg=f"loss_sequence {key}")
+
+
+# ---------------------------------------------------------------------------
+# Finance pipeline parity on one shared price panel
+# (reference: data_finance.py:147-353)
+# ---------------------------------------------------------------------------
+
+TICKERS = ["A0", "A1", "A2", "A3", "A4"]
+START, END = "2012-01-02", "2021-06-30"
+TRAIN_END, VAL_END = "2018-12-31", "2020-12-31"
+EMB = 4
+
+
+@pytest.fixture(scope="module")
+def prices():
+    """Shared synthetic panel with realistic NaN structure: one asset too
+    sparse (must be dropped), one short gap (must be ffilled)."""
+    from kmpc_tpu.data.finance import generate_synthetic_prices
+
+    df = generate_synthetic_prices(
+        TICKERS + ["SPARSE"], START, END, seed=321
+    ).astype(np.float64)
+    n = len(df)
+    rng = np.random.default_rng(9)
+    sparse_idx = rng.choice(n, size=int(0.25 * n), replace=False)
+    df.iloc[sparse_idx, df.columns.get_loc("SPARSE")] = np.nan
+    df.iloc[100:103, df.columns.get_loc("A2")] = np.nan  # 3-day gap: ffill
+    return df
+
+
+def test_pipeline_value_parity(ref, prices):
+    import kmpc_tpu.data.finance as ours
+
+    ref_clean = ref.data.clean_price_data(prices.copy())
+    our_clean = ours.clean_price_data(prices.copy())
+    assert list(ref_clean.columns) == list(our_clean.columns)
+    assert "SPARSE" not in ref_clean.columns
+    assert ref_clean.index.equals(our_clean.index)
+    _assert_close(our_clean.values, ref_clean.values, atol=0, rtol=0,
+                  msg="clean_price_data")
+
+    ref_lr = ref.data.compute_log_returns(ref_clean)
+    our_lr = ours.compute_log_returns(our_clean)
+    assert ref_lr.index.equals(our_lr.index)
+    _assert_close(our_lr.values, ref_lr.values, atol=1e-12, msg="log_returns")
+
+    ref_stats = ref.data.compute_standardization_stats(ref_lr, TRAIN_END)
+    our_stats = ours.compute_standardization_stats(our_lr, TRAIN_END)
+    _assert_close(our_stats.mean, ref_stats.mean, atol=1e-12, msg="stats.mean")
+    _assert_close(our_stats.std, ref_stats.std, atol=1e-12, msg="stats.std")
+
+    ref_splits = ref.data.create_finance_splits(
+        log_returns=ref_lr, stats=ref_stats,
+        train_end=TRAIN_END, val_end=VAL_END, embedding_dim=EMB,
+    )
+    our_splits = ours.create_finance_splits(
+        our_lr, our_stats, TRAIN_END, VAL_END, EMB
+    )
+    for name, (rd, rdates, od, odates) in {
+        "train": (ref_splits[0], ref_splits[1], our_splits[0], our_splits[1]),
+        "val": (ref_splits[2], ref_splits[3], our_splits[2], our_splits[3]),
+        "test": (ref_splits[4], ref_splits[5], our_splits[4], our_splits[5]),
+    }.items():
+        assert rd.shape == od.shape, f"{name} shape"
+        assert list(rdates) == list(odates), f"{name} dates"
+        _assert_close(od, rd, atol=1e-6, msg=f"{name} embedded data")
+        n_assets = len(ref_lr.columns)
+        assert ref.data.verify_embedding_shift(rd, n_assets, EMB)
+        assert ours.verify_embedding_shift(od, n_assets, EMB)
+
+
+def test_finance_env_parity(ref, prices, tmp_path):
+    """Full loaders (cache -> clean -> stats -> splits -> env wrappers)
+    produce identical arrays and destandardization."""
+    import hashlib
+
+    import kmpc_tpu.data.finance as ours
+    from kmpc_tpu.config import FinanceConfig
+
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    tickers = list(prices.columns)
+
+    # Stage the SAME panel at both loaders' cache paths. The reference
+    # keys its cache on salted builtin hash() (data_finance.py:451) —
+    # consistent within one process, so recompute it here.
+    ref_key = hash(tuple(sorted(tickers))) % 10000
+    prices.to_parquet(cache_dir / f"prices_{START}_{END}_{ref_key}.parquet")
+    our_key = hashlib.md5(",".join(sorted(tickers)).encode()).hexdigest()[:8]
+    prices.to_parquet(cache_dir / f"prices_{START}_{END}_{our_key}.parquet")
+
+    ref_env = ref.data.create_finance_env(
+        config=ref.data.FinanceDataConfig(
+            tickers=tickers, start_date=START, end_date=END,
+            train_end=TRAIN_END, val_end=VAL_END, embedding_dim=EMB,
+            cache_dir=str(cache_dir),
+        ),
+        sequence_length=1,
+    )
+    fd = ours.load_finance_data(
+        FinanceConfig(
+            TICKERS=tickers, START_DATE=START, END_DATE=END,
+            TRAIN_END=TRAIN_END, VAL_END=VAL_END, EMBEDDING_DIM=EMB,
+            CACHE_DIR=str(cache_dir), SYNTHETIC=False,
+        ),
+        sequence_length=1,
+    )
+
+    assert fd.observation_size == ref_env.observation_size
+    assert fd.n_assets == ref_env.n_assets
+    for split, ds in (
+        ("train", ref_env.train_dataset),
+        ("val", ref_env.val_dataset),
+        ("test", ref_env.test_dataset),
+    ):
+        _assert_close(fd.split(split), ds.data.numpy(), atol=1e-6,
+                      msg=f"{split} data")
+
+    obs = ref_env.test_dataset.data[:16]
+    ref_raw = ref_env.destandardize_returns(
+        ref_env.extract_current_returns(obs)
+    ).numpy()
+    our_raw = fd.destandardize_returns(
+        fd.extract_current_returns(jnp.asarray(obs.numpy()))
+    )
+    _assert_close(our_raw, ref_raw, atol=1e-6, msg="extract+destandardize")
+
+
+# ---------------------------------------------------------------------------
+# Backtest-loop parity on the shared panel (reference: backtest.py:133-249)
+# ---------------------------------------------------------------------------
+
+HORIZON = 3
+
+
+@pytest.fixture(scope="module")
+def envs(ref, prices, tmp_path_factory):
+    """Reference FinanceEnv + kmpc_tpu FinanceData over a SHORT test
+    window (END above gives ~125 test days; backtests run in seconds)."""
+    import hashlib
+
+    import kmpc_tpu.data.finance as ours
+    from kmpc_tpu.config import FinanceConfig
+
+    cache_dir = tmp_path_factory.mktemp("btcache")
+    tickers = list(prices.columns)
+    ref_key = hash(tuple(sorted(tickers))) % 10000
+    prices.to_parquet(cache_dir / f"prices_{START}_{END}_{ref_key}.parquet")
+    our_key = hashlib.md5(",".join(sorted(tickers)).encode()).hexdigest()[:8]
+    prices.to_parquet(cache_dir / f"prices_{START}_{END}_{our_key}.parquet")
+
+    ref_env = ref.data.create_finance_env(
+        config=ref.data.FinanceDataConfig(
+            tickers=tickers, start_date=START, end_date=END,
+            train_end=TRAIN_END, val_end=VAL_END, embedding_dim=EMB,
+            cache_dir=str(cache_dir),
+        ),
+        sequence_length=1,
+    )
+    fd = ours.load_finance_data(
+        FinanceConfig(
+            TICKERS=tickers, START_DATE=START, END_DATE=END,
+            TRAIN_END=TRAIN_END, VAL_END=VAL_END, EMBEDDING_DIM=EMB,
+            CACHE_DIR=str(cache_dir), SYNTHETIC=False,
+        ),
+        sequence_length=1,
+    )
+    return ref_env, fd
+
+
+def _run_ref_backtest(ref, strategy, env, monkeypatch_ctx=None):
+    cfg = ref.backtest.BacktestConfig(horizon=HORIZON, rebalance_freq=1)
+    return ref.backtest.run_backtest(strategy, env, cfg, verbose=False)
+
+
+def test_backtest_loop_parity_buy_and_hold(ref, envs):
+    """Loop mechanics in isolation: identical targets on both sides
+    (B&H needs no solver) -> value/return/turnover/cost match to fp32."""
+    from kmpc_tpu.backtest.engine import (
+        BuyAndHoldStrategy,
+        calculate_metrics,
+        run_backtest,
+    )
+    from kmpc_tpu.config import BacktestConfig
+
+    ref_env, fd = envs
+    ref_df = _run_ref_backtest(ref, ref.backtest.BuyAndHoldStrategy(), ref_env)
+    our_df = run_backtest(
+        BuyAndHoldStrategy(), fd, BacktestConfig(HORIZON=HORIZON)
+    )
+
+    assert len(ref_df) == len(our_df)
+    assert list(ref_df["date"]) == list(our_df["date"])
+    for col in ("portfolio_value", "return", "turnover", "cost"):
+        _assert_close(our_df[col].values, ref_df[col].values,
+                      atol=1e-3, rtol=1e-5, msg=f"history[{col}]")
+
+    ref_metrics = ref.backtest.calculate_metrics(ref_df)
+    our_metrics = calculate_metrics(our_df)
+    _assert_close(our_metrics["Sharpe Ratio"], ref_metrics["Sharpe Ratio"],
+                  atol=1e-3, msg="Sharpe")
+    _assert_close(our_metrics["Max Drawdown"], ref_metrics["Max Drawdown"],
+                  atol=1e-5, msg="MaxDD")
+    _assert_close(our_metrics["Final Value"], ref_metrics["Final Value"],
+                  rtol=1e-5, msg="FinalValue")
+
+
+def test_metric_math_parity_on_identical_history(ref, envs):
+    """calculate_metrics: same dataframe into both implementations."""
+    from kmpc_tpu.backtest.engine import calculate_metrics
+
+    ref_env, _ = envs
+    df = _run_ref_backtest(ref, ref.backtest.BuyAndHoldStrategy(), ref_env)
+    theirs = ref.backtest.calculate_metrics(df)
+    ours = calculate_metrics(df)
+    for key in ("Sharpe Ratio", "Max Drawdown", "Avg Turnover",
+                "Final Value", "Total Return"):
+        _assert_close(ours[key], theirs[key], atol=1e-9, rtol=1e-9, msg=key)
+
+
+@pytest.fixture(scope="module")
+def shared_koopman(ref, envs):
+    """One small reference GenericKM + its converted kmpc_tpu params."""
+    ref_env, fd = envs
+    torch.manual_seed(3)
+    ref_cfg = ref.config.get_config("generic")
+    ref_cfg.MODEL.TARGET_SIZE = 12
+    ref_cfg.MODEL.ENCODER.LAYERS = [32]
+    ref_cfg.MODEL.DECODER.LAYERS = [32]
+    tm = ref.model.make_model(ref_cfg, ref_env.observation_size)
+    _perturb(tm, seed=17, scale=0.02)
+    tm.eval()
+
+    cfg = Config.from_dict(ref_cfg.to_dict())
+    model = make_model(cfg, fd.observation_size)
+    params = convert_state_dict(tm.state_dict(), "GenericKM")
+    return tm, model, params
+
+
+def test_koopman_forecast_parity(ref, envs, shared_koopman):
+    """The H-step forecast feeding the MPC: reference strategy's inner
+    rollout (captured via a recording solver stub) vs predict_returns."""
+    ref_env, fd = envs
+    tm, model, params = shared_koopman
+
+    captured = []
+
+    def recording_solver(current_weights, pred_log_returns, config):
+        captured.append(np.array(pred_log_returns))
+        H = pred_log_returns.shape[0]
+        return np.tile(current_weights, (H, 1)), {"status": "optimal"}
+
+    strat = ref.backtest.KoopmanMPCStrategy(
+        tm, ref.mpc.MPCConfig(horizon=HORIZON)
+    )
+    import backtest as ref_backtest_mod
+
+    orig = ref_backtest_mod.solve_mpc_log_utility
+    ref_backtest_mod.solve_mpc_log_utility = recording_solver
+    try:
+        n = fd.n_assets
+        w = np.ones(n) / n
+        for t in (0, 5, 17):
+            strat.rebalance(t, w, ref_env)
+    finally:
+        ref_backtest_mod.solve_mpc_log_utility = orig
+
+    from kmpc_tpu.ops.rollout import predict_returns
+
+    preds = np.asarray(predict_returns(
+        model, params, fd.test, HORIZON, fd.n_assets, fd.mean, fd.std
+    ))
+    for (t, theirs) in zip((0, 5, 17), captured):
+        _assert_close(preds[t], theirs, atol=2e-5,
+                      msg=f"H-step forecast at t={t}")
+
+
+def test_backtest_system_parity_koopman_mpc(ref, envs, shared_koopman):
+    """End-to-end: reference loop + trust-constr oracle (stand-in for its
+    CVXPY/ECOS solve) vs engine scan + batched PDHG. Solvers differ, so
+    bounds are system-level: matched equity curve and turnover profile."""
+    from kmpc_tpu.backtest.engine import KoopmanMPCStrategy, run_backtest
+    from kmpc_tpu.config import BacktestConfig
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.mpc_oracle import solve_mpc_log_utility_oracle
+
+    ref_env, fd = envs
+    tm, model, params = shared_koopman
+
+    def oracle_solver(current_weights, pred_log_returns, config):
+        return solve_mpc_log_utility_oracle(
+            np.asarray(current_weights, dtype=np.float64),
+            np.asarray(pred_log_returns, dtype=np.float64),
+            cost_coeff=config.cost_coeff,
+            max_turnover=config.max_turnover,
+            allow_short=config.allow_short,
+            tol=1e-10,
+            max_iter=500,
+        )
+
+    import backtest as ref_backtest_mod
+
+    orig = ref_backtest_mod.solve_mpc_log_utility
+    ref_backtest_mod.solve_mpc_log_utility = oracle_solver
+    try:
+        ref_df = _run_ref_backtest(
+            ref,
+            ref.backtest.KoopmanMPCStrategy(
+                tm, ref.mpc.MPCConfig(horizon=HORIZON)
+            ),
+            ref_env,
+        )
+    finally:
+        ref_backtest_mod.solve_mpc_log_utility = orig
+
+    strat = KoopmanMPCStrategy(
+        model=model, params=params,
+        mpc=MPCParams(horizon=HORIZON, max_iters=4000, ridge=1e-6),
+    )
+    our_df = run_backtest(strat, fd, BacktestConfig(HORIZON=HORIZON))
+
+    assert len(ref_df) == len(our_df)
+    ref_v = ref_df["portfolio_value"].values
+    our_v = our_df["portfolio_value"].values
+    # System-level bounds: the two solvers pick different (equally
+    # optimal) points on the program's near-flat faces, so individual
+    # dates' weights can disagree while the compounded equity curve
+    # tracks within <1% over 125 dates (measured: max 0.8% at 4k PDHG
+    # iterations, 0.4% at 30k — see RESULTS.md "Accuracy").
+    rel = np.abs(our_v - ref_v) / ref_v
+    assert rel.max() < 2e-2, f"equity curve diverged: max rel err {rel.max()}"
+    assert np.median(rel) < 1e-2, f"median rel err {np.median(rel)}"
+
+    # Turnover profile: same rebalancing behavior up to flat-face
+    # tie-breaks (a handful of dates pick a different optimal vertex).
+    to_err = np.abs(our_df["turnover"].values - ref_df["turnover"].values)
+    assert np.median(to_err) < 5e-3, f"median turnover err {np.median(to_err)}"
+
+    ref_m = ref.backtest.calculate_metrics(ref_df)
+    from kmpc_tpu.backtest.engine import calculate_metrics
+
+    our_m = calculate_metrics(our_df)
+    assert abs(our_m["Sharpe Ratio"] - ref_m["Sharpe Ratio"]) < 0.15
+    assert abs(our_m["Total Return"] - ref_m["Total Return"]) < 2e-2

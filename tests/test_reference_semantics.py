@@ -40,7 +40,10 @@ def _reference_style_backtest(model, params, fd, horizon, cost_coeff,
     mean = np.asarray(fd.mean, dtype=np.float64)
     std = np.asarray(fd.std, dtype=np.float64)
     n_assets = fd.n_assets
-    n_steps = test.shape[0] - horizon
+    # Reference date count: len(test_dataset) - horizon, where the
+    # Dataset is sequence_length(=1) shorter than the raw split
+    # (reference: backtest.py:150, data_finance.py:389).
+    n_steps = test.shape[0] - 1 - horizon
 
     all_returns = test[:, :n_assets] * std + mean
 
@@ -141,7 +144,7 @@ def test_fused_parallel_engine_matches_reference_semantics():
                       proj_refresh_every=16),
         use_fused_kernel=True,
     )
-    n_dates = fd.test.shape[0] - horizon
+    n_dates = fd.test.shape[0] - fd.sequence_length - horizon
     df = run_backtest_parallel(
         strat, fd, BacktestConfig(HORIZON=horizon, COST_COEFF=cost),
         num_sweeps=n_dates,

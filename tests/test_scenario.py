@@ -113,7 +113,7 @@ def test_scenario_strategy_backtest():
         num_scenarios=8,
     )
     df = run_backtest(strat, fd, BacktestConfig(HORIZON=3))
-    assert len(df) == fd.test.shape[0] - 3
+    assert len(df) == fd.test.shape[0] - fd.sequence_length - 3
     assert (df["portfolio_value"] > 0).all()
 
 
