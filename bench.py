@@ -56,10 +56,7 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
     import jax.numpy as jnp
 
     from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
-    from kmpc_tpu.ops.mpc_pallas import (
-        solve_mpc_log_utility_pallas,
-        solve_mpc_log_utility_pallas_packed,
-    )
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
 
     # feas_tol reflects the achievable turnover-cap slack at this
     # iteration budget (~1e-4 at 1000 iters). proj_refresh_every=16:
@@ -70,7 +67,6 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
                        proj_refresh_every=16)
     solver = {
         "xla": solve_mpc_log_utility_batch,          # pure XLA scan
-        "lanes": solve_mpc_log_utility_pallas,       # assets-in-lanes kernel
         "packed": solve_mpc_log_utility_pallas_packed,  # batch-in-lanes kernel
     }[solver_name]
 
@@ -94,7 +90,7 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
         "pdhg_iters": iters,
         "best_batch_time_s": round(best, 4),
         "converged_frac": float(np.mean(np.asarray(conv))),
-        "solver": {"xla": "xla_scan", "lanes": "pallas_assets_in_lanes",
+        "solver": {"xla": "xla_scan",
                    "packed": "pallas_batch_in_lanes"}[solver_name],
     }
 

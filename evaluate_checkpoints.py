@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--horizons", type=int, nargs="*", default=[100, 1000])
     parser.add_argument("--batch_size", type=int, default=100)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--allow_pickle", action="store_true",
+                        help="permit full unpickling of .pt checkpoints that "
+                             "fail the safe weights_only load (runs code "
+                             "embedded in the file; trusted files only)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -56,7 +60,9 @@ def main():
             raise FileNotFoundError(
                 f"No config.json or {args.checkpoints}.pt under {run_dir}"
             )
-        torch_cache[pts[0].name] = load_torch_checkpoint(str(pts[0]))
+        torch_cache[pts[0].name] = load_torch_checkpoint(
+            str(pts[0]), allow_pickle=args.allow_pickle
+        )
         cfg = torch_cache[pts[0].name]["config"]
     system_name = args.system or cfg.ENV.ENV_NAME
     is_finance = system_name.lower() == "finance"
@@ -86,6 +92,7 @@ def main():
         ckpt_dir = run_dir / name
         pt_file = run_dir / f"{name}.pt"
         if (ckpt_dir / "arrays.npz").exists():
+            eval_model = model
             params, step, _ = load_params_any(
                 ckpt_dir, cfg, model, seed=cfg.SEED
             )
@@ -97,7 +104,15 @@ def main():
                 step = ckpt.get("step")
                 step = int(step) if step is not None else -1
             else:
-                params, step, ckpt = load_params_any(pt_file, cfg, model)
+                params, step, ckpt = load_params_any(
+                    pt_file, cfg, model, allow_pickle=args.allow_pickle
+                )
+            # Evaluate with the model built from the checkpoint's OWN
+            # embedded config: shape-preserving fields that live in config
+            # rather than params (activation, norm_fn, LISTA loops/alpha/L)
+            # could otherwise silently diverge from the run dir's
+            # config.json (reference embeds the config at train.py:475-492).
+            eval_model = ckpt["model"]
             if is_finance:
                 from kmpc_tpu.utils.torch_import import (
                     check_finance_compatibility,
@@ -110,7 +125,7 @@ def main():
         print(f"Evaluating '{name}' (step {step}) on {system_name}...")
         if is_finance:
             res = evaluate_finance(
-                model, params, test_init, test_future,
+                eval_model, params, test_init, test_future,
                 max_horizon=max(args.horizons),
             )
             results = {
@@ -123,7 +138,7 @@ def main():
         else:
             out_dir = run_dir / f"evaluation_{name}"
             results = evaluate_model(
-                model, params, cfg, settings, output_dir=out_dir
+                eval_model, params, cfg, settings, output_dir=out_dir
             )
             sys_res = results.get(system_name, {})
             for horizon in args.horizons:

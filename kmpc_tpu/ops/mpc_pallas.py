@@ -7,24 +7,19 @@ VMEM-resident values — zero HBM traffic between iterations. Numerics
 match ops/mpc.py's XLA-scan solver (same iteration, same projections,
 same warm-threshold scheme).
 
-Two layouts (v5e, measured at 1000 iterations, warm thresholds in all
-paths):
-
-1. ``solve_mpc_log_utility_pallas_packed`` — batch-in-lanes (USE THIS).
-   The problem batch rides the 128-lane axis (always full), assets ride
-   sublanes (N=30 -> 32, 1.07x pad), the horizon is the leading untiled
-   axis; asset reductions are sublane reductions. Beats the XLA scan
-   everywhere: 156k vs 94k solves/s on the H=5/N=30 headline (the scan
-   is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
-   every iteration), 41.8k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
-   94.7k vs 66k at matched 500 iterations on the S=16 scenario-Kelly
-   program (``solve_mpc_log_utility_scenarios_packed``; 64.2k at the
-   1000-iteration bench setting).
-
-2. ``solve_mpc_log_utility_pallas`` — assets-in-lanes ([TB, H, LANES]
-   blocks). Kept for reference/history: padding N=30 to 128 lanes and
-   H=5 to 8 sublanes wastes 6.8x of every VPU op, so it loses 6x at
-   small N and 1.7x to the packed layout even at N=500.
+Layout (v5e, measured at 1000 iterations, warm thresholds in all
+paths): ``solve_mpc_log_utility_pallas_packed`` — batch-in-lanes.
+The problem batch rides the 128-lane axis (always full), assets ride
+sublanes (N=30 -> 32, 1.07x pad), the horizon is the leading untiled
+axis; asset reductions are sublane reductions. Beats the XLA scan
+everywhere: 156k vs 94k solves/s on the H=5/N=30 headline (the scan
+is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
+every iteration), 41.8k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
+94.7k vs 66k at matched 500 iterations on the S=16 scenario-Kelly
+program (``solve_mpc_log_utility_scenarios_packed``; 64.2k at the
+1000-iteration bench setting). An earlier assets-in-lanes layout
+(padding N=30 to 128 lanes: 6.8x VPU waste) lost everywhere and was
+retired — measurements preserved in RESULTS.md.
 
 Padded rows/lanes carry r = 0 / w = 0 and are excluded from projections
 via an additive -inf mask, so they can never enter an active set.
@@ -35,9 +30,13 @@ Parameter surface and failure semantics match the XLA solver:
 projection and plain PDHG), ``proj_warm_iters=0`` runs cold full-budget
 projections, non-finite solves fall back to hold-current-weights
 (reference: mpc.py:113-116), and ``info`` reports the pre-restoration
-``turnover_violation``. Workloads whose working set cannot fit VMEM at
-the minimum 128-lane tile (e.g. S=16 x N=500) also delegate to the XLA
-scan instead of failing the compile.
+``turnover_violation``. The kernels end with the same extra primal
+half-step as the XLA tail (ops/mpc.py:270-274): the returned iterate is
+``w_last`` and ``info['fixed_point_residual']`` is max|w_last - w|,
+computed in-kernel, so the diagnostics and the hold-weights trigger are
+the identical quantities on both paths. Workloads whose working set
+cannot fit VMEM at the minimum 128-lane tile (e.g. S=16 x N=500) also
+delegate to the XLA scan instead of failing the compile.
 """
 
 from __future__ import annotations
@@ -70,214 +69,20 @@ def _needs_xla_fallback(params: MPCParams) -> bool:
     return params.allow_short or params.over_relax != 1.0
 
 
-def _masked_simplex_threshold(v, neg_mask, radius, num_iters, theta0=None):
-    """Michelot/Newton threshold over the lane axis with padded lanes
-    disabled. Matches ops/projections.py:_simplex_threshold; ``theta0``
-    warm-starts the iteration (globally convergent from any start).
-
-    v: [..., LANES]; neg_mask: 0 for valid lanes, -inf for padded.
-    """
-    vm = v + neg_mask                                     # padded -> -inf
-    if theta0 is None:
-        valid = (neg_mask == 0.0).astype(v.dtype)
-        n = jnp.sum(valid, axis=-1, keepdims=True)
-        v0 = jnp.where(neg_mask == 0.0, v, 0.0)
-        theta = (jnp.sum(v0, axis=-1, keepdims=True) - radius) / n
-    else:
-        theta = theta0
-
-    def body(_, theta):
-        active = vm > theta
-        count = jnp.sum(active.astype(v.dtype), axis=-1, keepdims=True)
-        s = jnp.sum(jnp.where(active, v, 0.0), axis=-1, keepdims=True)
-        return (s - radius) / jnp.maximum(count, 1.0)
-
-    return jax.lax.fori_loop(0, num_iters, body, theta)
-
-
-def _make_kernel(params: MPCParams, H: int, cold_iters: int):
-    c = params.cost_coeff
-    tau_to = params.max_turnover
-    use_ball = tau_to > 0
-    ridge = params.ridge
-    # proj_warm_iters < 1 never reaches this factory — the wrapper
-    # delegates cold-projection mode to the XLA solver.
-    warm_iters = params.proj_warm_iters
-
-    def kernel(cw_ref, r_ref, negmask_ref, out_ref):
-        r = r_ref[:]                                       # [TB, H, LANES]
-        w_init = cw_ref[:]                                 # [TB, LANES]
-        neg_mask = negmask_ref[:]                          # [1, LANES]
-        nm3 = neg_mask[None, :, :]                         # [1, 1, LANES]
-
-        valid = (neg_mask == 0.0).astype(r.dtype)          # [1, LANES]
-
-        # Per-problem Lipschitz bound (padded lanes carry r = 0).
-        r_norm2 = jnp.sum(r * r, axis=-1)                  # [TB, H]
-        r_big = jnp.where(nm3 == 0.0, r, jnp.inf)
-        r_min = jnp.min(r_big, axis=-1)                    # [TB, H]
-        L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)
-        L = L[:, None, None] + ridge
-        sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
-        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
-
-        def proj_simplex(v, theta0, n_sweeps):
-            theta = _masked_simplex_threshold(
-                v, nm3, 1.0, n_sweeps, theta0=theta0
-            )
-            return jnp.maximum(v + nm3 - theta, 0.0), theta
-
-        def apply_D(w):
-            if H == 1:   # Mosaic rejects the 0-size w[:, :-1] slice
-                return w - w_init[:, None, :]
-            prev = jnp.concatenate([w_init[:, None, :], w[:, :-1, :]], axis=1)
-            return w - prev
-
-        def apply_Dt(p):
-            if H == 1:
-                return p
-            nxt = jnp.concatenate(
-                [p[:, 1:, :], jnp.zeros_like(p[:, :1, :])], axis=1
-            )
-            return p - nxt
-
-        def prox_phi_conj(q, sig, theta0, n_sweeps):
-            v = q / sig
-            inner = jnp.sign(v) * jnp.maximum(jnp.abs(v) - c / sig, 0.0)
-            theta = theta0
-            if use_ball:
-                a = jnp.abs(inner)
-                l1 = jnp.sum(jnp.where(nm3 == 0.0, a, 0.0), axis=-1, keepdims=True)
-                theta = _masked_simplex_threshold(
-                    a, nm3, tau_to, n_sweeps, theta0=theta0
-                )
-                proj = jnp.sign(inner) * jnp.maximum(
-                    a - jnp.maximum(theta, 0.0), 0.0
-                )
-                inner = jnp.where(l1 <= tau_to, inner, proj)
-            return q - sig * inner, theta
-
-        w0, th_w0 = proj_simplex(
-            jnp.broadcast_to(w_init[:, None, :], r.shape), None, cold_iters
-        )
-        p0 = jnp.zeros_like(w0)
-        th_p0 = jnp.zeros_like(th_w0)
-
-        def body(_, carry):
-            w, p, th_w, th_p = carry
-            port = jnp.sum(w * r, axis=-1, keepdims=True)
-            grad = -r / jnp.maximum(port, 1e-12) + ridge * w
-            w_new, th_w = proj_simplex(
-                w - tau_p * (grad + apply_Dt(p)), th_w, warm_iters
-            )
-            w_bar = 2.0 * w_new - w
-            p_new, th_p = prox_phi_conj(
-                p + sigma * apply_D(w_bar), sigma, th_p, warm_iters
-            )
-            return (w_new, p_new, th_w, th_p)
-
-        w, p, _, _ = jax.lax.fori_loop(
-            0, params.max_iters, body, (w0, p0, th_w0, th_p0)
-        )
-        out_ref[:] = w * valid[None, :, :]
-
-    return kernel
-
-
-def _default_tile_b(H: int, lanes: int) -> int:
-    """Largest power-of-two tile whose working set (~8 live [TB, H, LANES]
-    f32 arrays) stays within ~12 MB of the ~16 MB/core VMEM."""
-    budget = 4 * 1024 * 1024  # tb=128 at H=5/lanes=512 already overflows
-                              # VMEM (measured HTTP-500 compile failure);
-                              # ~4 MB of declared arrays leaves headroom
-                              # for Mosaic temporaries, and tb=32 measured
-                              # fastest at lanes=512 anyway (7.2k vs 7.0k
-                              # solves/s at tb=64)
-    per_problem = H * lanes * 4 * 8
-    tb = 8
-    while tb * 2 * per_problem <= budget and tb < 1024:
-        tb *= 2
-    return tb
-
-
-def solve_mpc_log_utility_pallas(
-    current_weights: jax.Array,
-    predicted_log_returns: jax.Array,
-    params: MPCParams,
-    tile_b: Optional[int] = None,
-    interpret: bool = False,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Fused-solve wrapper: [B, N] x [B, H, N] -> ([B, H, N], info).
-
-    The batch is padded to a multiple of ``tile_b`` and assets to a
-    multiple of 128 lanes; results come back unpadded. Honors
-    ``params.restore_feasibility`` (restoration runs outside the kernel,
-    once). Gradient flow is not supported (solver output, not a
-    training path).
-    """
-    B, H, N = predicted_log_returns.shape
-    lanes = ((N + _LANE - 1) // _LANE) * _LANE
-    dtype = jnp.float32
-    if _needs_xla_fallback(params) or params.proj_warm_iters < 1:
-        # This historical kernel implements only the default parameter
-        # surface (simplex projection, plain PDHG, warm thresholds).
-        w, info = solve_mpc_log_utility_batch(
-            current_weights, predicted_log_returns, params
-        )
-        return w, _match_packed_info(info)
-    if tile_b is None:
-        tile_b = _default_tile_b(H, lanes)
-
-    Bp = ((B + tile_b - 1) // tile_b) * tile_b
-    r = jnp.exp(predicted_log_returns).astype(dtype)
-    r_pad = jnp.zeros((Bp, H, lanes), dtype)
-    r_pad = r_pad.at[:B, :, :N].set(r)
-    cw_pad = jnp.zeros((Bp, lanes), dtype)
-    cw_pad = cw_pad.at[:B, :N].set(current_weights.astype(dtype))
-    neg_mask = jnp.where(
-        jnp.arange(lanes)[None, :] < N, 0.0, _NEG
-    ).astype(dtype)                                        # [1, LANES]
-
-    # Cold budget for the initial projection, matching projections.py.
-    cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
-    kernel = _make_kernel(params, H, cold_iters)
-    grid = (Bp // tile_b,)
-
-    w_pad = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, H, lanes), dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_b, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, H, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_b, H, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(cw_pad, r_pad, neg_mask)
-
-    w = w_pad[:B, :, :N]
-    w_init = current_weights.astype(dtype)
-    return _finalize_packed(w, r, w_init, params)
-
-
 # ---------------------------------------------------------------------------
-# Batch-in-lanes ("packed") kernel for SMALL asset counts
+# Batch-in-lanes ("packed") kernel
 # ---------------------------------------------------------------------------
 #
-# The [TB, H, LANES] kernel above pads N=30 assets to 128 lanes (4.3x
-# waste) and H=5 to 8 sublanes (1.6x) — 6.8x of every VPU op wasted,
-# which is why it loses to the XLA scan at small N. This kernel flips
-# the layout: the PROBLEM BATCH rides the 128-lane axis (always full),
+# Layout: the PROBLEM BATCH rides the 128-lane axis (always full),
 # assets ride the sublane axis (N=30 -> 32, 1.07x waste), and the
 # horizon is the leading (untiled) axis. Asset reductions become
 # sublane reductions; everything stays VMEM-resident for the whole
 # solve, removing the ~30 MB/iteration HBM round-trip that binds the
 # XLA scan at batch 8192 (working set ~8 arrays x B*H*N*4B >> 16 MB
 # VMEM). Measured on v5e: 156k solves/s on the H=5/N=30 headline vs
-# 94k for the XLA scan (see RESULTS.md).
+# 94k for the XLA scan. An earlier assets-in-lanes [TB, H, LANES]
+# layout padded N=30 to 128 lanes (6.8x of every VPU op wasted) and
+# lost everywhere — retired; measurements in RESULTS.md.
 
 
 def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
@@ -354,7 +159,8 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             w_warm_ref, p_warm_ref = rest[0], rest[1]
             rest = rest[2:]
         out_ref = rest[0]
-        out_p_ref = rest[1] if return_dual else None
+        fp_ref = rest[1]
+        out_p_ref = rest[2] if return_dual else None
         r = r_ref[:]                         # [H, NP, TB] or [S, H, NP, TB]
         w_init = cw_ref[:]                                 # [NP, TB]
         TB = r.shape[-1]
@@ -522,18 +328,35 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, body, carry0
             )
-        out_ref[:] = w * valid2[None]
+        # One extra primal half-step, exactly as the XLA solver's tail
+        # (ops/mpc.py:270-274): the returned iterate is w_last and the
+        # fixed-point residual max|w_last - w| is the convergence
+        # diagnostic. Cold-budget projection so the residual is not
+        # polluted by warm-threshold drift.
+        grad = smooth_grad(w)
+        if ridge != 0.0:
+            grad = grad + ridge * w
+        w_last, _ = proj_simplex(
+            w - tau_p * (grad + apply_Dt(p)), None, cold_iters
+        )
+        w_last = w_last * valid2[None]
+        out_ref[:] = w_last
+        fp_ref[:] = jnp.max(jnp.abs(w_last - w * valid2[None]),
+                            axis=(0, 1))[None]
         if return_dual:
             out_p_ref[:] = p * valid2[None]
 
     return kernel
 
 
-def _finalize_packed(w, r, w_init, params: MPCParams):
+def _finalize_packed(w, r, w_init, params: MPCParams, fp_res):
     """Shared wrapper tail: feasibility restoration, solver-failure
     hold-weights fallback, and info dict — semantics identical to the
-    XLA solver's tail (ops/mpc.py:266-299; reference failure behavior:
-    mpc.py:113-116). ``r`` may carry a scenario axis [B, S, H, N]."""
+    XLA solver's tail (ops/mpc.py:266-309; reference failure behavior:
+    mpc.py:113-116). ``w`` is the kernel's extra-half-step iterate
+    (w_last) and ``fp_res`` its in-kernel fixed-point residual, so the
+    diagnostics are the same quantities the XLA solver reports. ``r``
+    may carry a scenario axis [B, S, H, N]."""
     scen = r.ndim == 4
     tau_to = params.max_turnover
     use_ball = tau_to > 0
@@ -549,7 +372,7 @@ def _finalize_packed(w, r, w_init, params: MPCParams):
     else:
         to_viol = jnp.zeros(w.shape[:-2], w.dtype)
 
-    finite = jnp.all(jnp.isfinite(w), axis=(-2, -1))
+    finite = jnp.isfinite(fp_res)
     if use_ball and params.restore_feasibility:
         converged = finite
     else:
@@ -576,6 +399,7 @@ def _finalize_packed(w, r, w_init, params: MPCParams):
         "objective": objective,
         "converged": converged,
         "turnover_violation": to_viol,
+        "fixed_point_residual": fp_res,
     }
     return w, info
 
@@ -599,7 +423,8 @@ def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None,
     # headroom for Mosaic temporaries (N=500/H=5 at 10.3 MB measured
     # fine; tb=256's 20.6 MB failed).
     budget = 12 * 1024 * 1024
-    need = ((S or 1) + 7 + extra_blocks) * H * NP * tb * 4
+    # +1: the extra-half-step iterate (w_last) live at the kernel tail.
+    need = ((S or 1) + 8 + extra_blocks) * H * NP * tb * 4
     return tb if need <= budget else None
 
 
@@ -610,12 +435,13 @@ def _match_packed_info(info, return_dual: bool = False,
     The fallback paths must return the SAME info pytree structure as the
     kernel paths — `jax.shard_map` callers (parallel/mesh.py) declare
     out_specs for the packed keys, and a parameter-dependent extra key
-    ('fixed_point_residual', an unconditional 'dual') would make the
-    fallback a structure-breaking change rather than a drop-in."""
+    (an unconditional 'dual') would make the fallback a
+    structure-breaking change rather than a drop-in."""
     out = {
         "objective": info["objective"],
         "converged": info["converged"],
         "turnover_violation": info["turnover_violation"],
+        "fixed_point_residual": info["fixed_point_residual"],
     }
     if return_dual:
         out["dual"] = info["dual"]
@@ -699,25 +525,29 @@ def solve_mpc_log_utility_pallas_packed(
                            else jnp.zeros_like(w_warm))]
         in_specs += [block3, block3]
 
-    out_shape = jax.ShapeDtypeStruct((H, NP, Bp), dtype)
-    out_specs = block3
+    fp_spec = pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    fp_shape = jax.ShapeDtypeStruct((1, Bp), dtype)
+    out_shape = [jax.ShapeDtypeStruct((H, NP, Bp), dtype), fp_shape]
+    out_specs = [block3, fp_spec]
     if return_dual:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((H, NP, Bp), dtype))
-        out_specs = (block3, block3)
+        out_shape.append(jax.ShapeDtypeStruct((H, NP, Bp), dtype))
+        out_specs.append(block3)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(*operands)
-    w_pad, p_pad = out if return_dual else (out, None)
+    w_pad, fp_pad = out[0], out[1]
+    p_pad = out[2] if return_dual else None
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
-    w, info = _finalize_packed(w, r, w_init, params)
+    w, info = _finalize_packed(w, r, w_init, params, fp_pad[0, :B])
     if return_dual:
         info["dual"] = jnp.transpose(p_pad[:, :N, :B], (2, 0, 1))
     return w, info
@@ -761,9 +591,12 @@ def solve_mpc_log_utility_scenarios_packed(
     kernel = _make_packed_kernel(params, H, N, NP, cold_iters, S=S)
     grid = (Bp // tile_b,)
 
-    w_pad = pl.pallas_call(
+    w_pad, fp_pad = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((NP, tile_b), lambda i: (0, i),
@@ -771,15 +604,18 @@ def solve_mpc_log_utility_scenarios_packed(
             pl.BlockSpec((S, H, NP, tile_b), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (H, NP, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(cw_pad, r_pad)
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
-    w, info = _finalize_packed(w, r, w_init, params)
+    w, info = _finalize_packed(w, r, w_init, params, fp_pad[0, :B])
     info["num_scenarios"] = S
     return w, info
 
@@ -789,7 +625,7 @@ def solve_mpc_log_utility_scenarios_packed(
 
 
 def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
-                           cold_iters: int):
+                           cold_iters: int, shared_sigma: bool = False):
     """Mean-variance PDHG kernel, batch-in-lanes layout.
 
         min_w  sum_t [gamma w_t' Sigma w_t - w_t.mu_t] + c sum_t ||u_t||_1
@@ -800,6 +636,9 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
     so the dual prox is a plain clip). Per-problem Sigma rides VMEM as
     [NPm, NPn, TB]; the quadratic gradient Sigma @ w_t is a
     sublane-broadcast multiply + n-axis reduction per horizon step.
+    With ``shared_sigma`` the covariance is one [NPm, NPn] block shared
+    by every problem (no [B, N, N] HBM expansion) and the quadratic
+    gradient is a plain 2-D matmul on the MXU.
     """
     c = params.cost_coeff
     gamma = params.gamma
@@ -810,7 +649,7 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
     def kernel(cw_ref, mu_ref, sig_ref, out_ref):
         mu = mu_ref[:]                                     # [H, NP, TB]
         w_init = cw_ref[:]                                 # [NP, TB]
-        Sigma = sig_ref[:]                                 # [NPm, NPn, TB]
+        Sigma = sig_ref[:]                     # [NPm, NPn(, TB)]
         TB = mu.shape[-1]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (NP, TB), 0)
@@ -819,8 +658,11 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
 
         # L_g = 2 gamma ||Sigma||_2 <= 2 gamma ||Sigma||_F (padded
         # rows/cols carry zeros). Same bound as the XLA solver.
-        fro = jnp.sqrt(jnp.sum(Sigma * Sigma, axis=(0, 1)))[None, None]
-        L = jnp.maximum(2.0 * gamma * fro, 1e-6)           # [1, 1, TB]
+        if shared_sigma:
+            fro = jnp.sqrt(jnp.sum(Sigma * Sigma))         # scalar
+        else:
+            fro = jnp.sqrt(jnp.sum(Sigma * Sigma, axis=(0, 1)))[None, None]
+        L = jnp.maximum(2.0 * gamma * fro, 1e-6)     # [1, 1, TB] or scalar
         sigma = params.sigma_scale * jnp.sqrt(L + 1.0) / 2.0
         tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
 
@@ -837,11 +679,20 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
             return p - nxt
 
         def grad_g(w):
-            # (Sigma @ w_t)[m, b] = sum_n Sigma[m, n, b] w_t[n, b];
-            # static unroll over the horizon (H is small).
-            quad = jnp.stack([
-                jnp.sum(Sigma * w[h][None], axis=1) for h in range(H)
-            ])
+            # (Sigma @ w_t)[m, b]; static unroll over the horizon (H is
+            # small). Shared Sigma: one clean [NP,NP]x[NP,TB] MXU matmul
+            # per step; per-problem Sigma: sublane-broadcast multiply +
+            # n-axis reduction.
+            if shared_sigma:
+                quad = jnp.stack([
+                    jnp.dot(Sigma, w[h],
+                            preferred_element_type=jnp.float32)
+                    for h in range(H)
+                ])
+            else:
+                quad = jnp.stack([
+                    jnp.sum(Sigma * w[h][None], axis=1) for h in range(H)
+                ])
             return 2.0 * gamma * quad - mu
 
         def proj_simplex(v, theta0, n_sweeps):
@@ -897,19 +748,27 @@ def solve_mpc_mean_variance_pallas_packed(
     """Batch-in-lanes fused mean-variance solve (Markowitz's program):
     [B, N] x [B, H, N] x [B or none, N, N] -> ([B, H, N], info).
 
-    Numerics and info keys match solve_mpc_mean_variance_batch. Falls
-    back to the XLA solver for allow_short / over_relax, and when the
-    per-problem covariance block cannot fit VMEM at the 128-lane tile
-    (Sigma alone is NP*NP*128*4 bytes: fine to N~128, hopeless at 500).
+    Numerics and info keys match solve_mpc_mean_variance_batch. An
+    unbatched (or size-1-batched) covariance is NOT expanded to
+    [B, N, N] in HBM: it rides VMEM once as a shared [NP, NP] block with
+    a constant BlockSpec index map and the quadratic gradient becomes an
+    MXU matmul. Falls back to the XLA solver for allow_short /
+    over_relax, and when the per-problem covariance block cannot fit
+    VMEM at the 128-lane tile (per-problem Sigma is NP*NP*128*4 bytes:
+    fine to N~128, hopeless at 500; shared Sigma is 128x smaller).
     """
     from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
 
     B, H, N = predicted_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
+    shared_sigma = cov_matrix.ndim == 2 or (
+        cov_matrix.ndim == 3 and cov_matrix.shape[0] == 1
+    )
     if tile_b is None:
         # Sigma block + ~6 live [H, NP, TB] iterate arrays within ~8 MB.
-        need = (NP * NP + 6 * H * NP) * 128 * 4
+        sig_bytes = NP * NP * 4 if shared_sigma else NP * NP * 128 * 4
+        need = sig_bytes + 6 * H * NP * 128 * 4
         tile_b = 128 if need <= 8 * 1024 * 1024 else None
     if _needs_xla_fallback(params) or tile_b is None:
         return solve_mpc_mean_variance_batch(
@@ -920,17 +779,26 @@ def solve_mpc_mean_variance_pallas_packed(
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
     mu = predicted_log_returns.astype(dtype)
     Sigma = 0.5 * (cov_matrix + jnp.swapaxes(cov_matrix, -1, -2))
-    Sigma = jnp.broadcast_to(Sigma.astype(dtype), (B, N, N))
+    if shared_sigma:
+        Sigma = Sigma.reshape(N, N).astype(dtype)
+        sig_pad = jnp.pad(Sigma, ((0, NP - N), (0, NP - N)))
+        sig_spec = pl.BlockSpec((NP, NP), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        Sigma = jnp.broadcast_to(Sigma.astype(dtype), (B, N, N))
+        sig_pad = jnp.pad(jnp.transpose(Sigma, (1, 2, 0)),
+                          ((0, NP - N), (0, NP - N), (0, Bp - B)))
+        sig_spec = pl.BlockSpec((NP, NP, tile_b), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
 
     mu_pad = jnp.pad(jnp.transpose(mu, (1, 2, 0)),
                      ((0, 0), (0, NP - N), (0, Bp - B)))
-    sig_pad = jnp.pad(jnp.transpose(Sigma, (1, 2, 0)),
-                      ((0, NP - N), (0, NP - N), (0, Bp - B)))
     cw_pad = jnp.pad(jnp.transpose(current_weights.astype(dtype), (1, 0)),
                      ((0, NP - N), (0, Bp - B)))
 
     cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
-    kernel = _make_packed_mv_kernel(params, H, N, NP, cold_iters)
+    kernel = _make_packed_mv_kernel(params, H, N, NP, cold_iters,
+                                    shared_sigma=shared_sigma)
     grid = (Bp // tile_b,)
 
     out = pl.pallas_call(
@@ -942,8 +810,7 @@ def solve_mpc_mean_variance_pallas_packed(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, NP, tile_b), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            sig_spec,
         ],
         out_specs=pl.BlockSpec(
             (2, H, NP, tile_b), lambda i: (0, 0, 0, i),
@@ -966,9 +833,14 @@ def solve_mpc_mean_variance_pallas_packed(
     u = w_out - jnp.concatenate(
         [w_init[:, None, :], w_out[:, :-1, :]], axis=1
     )
+    quad = (
+        jnp.einsum("btn,nm,btm->b", w_out, Sigma, w_out)
+        if shared_sigma
+        else jnp.einsum("btn,bnm,btm->b", w_out, Sigma, w_out)
+    )
     obj = (
         jnp.einsum("btn,btn->b", w_out, mu)
-        - params.gamma * jnp.einsum("btn,bnm,btm->b", w_out, Sigma, w_out)
+        - params.gamma * quad
         - params.cost_coeff * jnp.sum(jnp.abs(u), axis=(-2, -1))
     )
     info = {"converged": converged, "fixed_point_residual": fp_res,

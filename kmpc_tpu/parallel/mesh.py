@@ -215,7 +215,8 @@ def sharded_mpc_solver(mesh: Mesh, mpc_params, use_fused_kernel: bool = False):
                 mesh=mesh,
                 in_specs=(spec, spec),
                 out_specs=(spec, {"objective": spec, "converged": spec,
-                                  "turnover_violation": spec}),
+                                  "turnover_violation": spec,
+                                  "fixed_point_residual": spec}),
                 # pallas_call's out_shape carries no varying-mesh-axes
                 # annotation; per-problem outputs are trivially varying
                 # on the batch axes only.

@@ -140,13 +140,15 @@ def load_checkpoint_orbax(
     return state, meta
 
 
-def load_params_any(path, cfg, model, seed: int = 0):
+def load_params_any(path, cfg, model, seed: int = 0, allow_pickle: bool = False):
     """Load model params from EITHER this framework's npz checkpoint dir
     or a reference torch ``.pt`` file. Returns ``(params, step, ckpt)``
     where ``ckpt`` is the full loaded payload (meta dict for npz,
     load_torch_checkpoint dict for .pt). One dispatch point shared by
     the run_experiment and evaluate_checkpoints CLIs so the two formats
-    cannot drift apart.
+    cannot drift apart. ``allow_pickle`` opts in to full unpickling of
+    .pt files that fail the safe weights_only load (runs embedded code —
+    trusted checkpoints only).
     """
     import jax
 
@@ -160,7 +162,7 @@ def load_params_any(path, cfg, model, seed: int = 0):
     if path.suffix == ".pt" and path.exists():
         from kmpc_tpu.utils.torch_import import load_torch_checkpoint
 
-        ckpt = load_torch_checkpoint(str(path))
+        ckpt = load_torch_checkpoint(str(path), allow_pickle=allow_pickle)
         step = ckpt.get("step")
         return ckpt["params"], int(step) if step is not None else -1, ckpt
     raise FileNotFoundError(f"no checkpoint at {path} (.pt or arrays.npz dir)")

@@ -101,6 +101,7 @@ def convert_state_dict(state_dict: Dict, model_name: str) -> Dict:
 def load_torch_checkpoint(
     path: str,
     observation_size: Optional[int] = None,
+    allow_pickle: bool = False,
 ) -> Dict:
     """Load a reference checkpoint.pt and return a dict with:
 
@@ -113,6 +114,12 @@ def load_torch_checkpoint(
 
     ``observation_size`` is inferred from the encoder input dimension
     when not given.
+
+    Checkpoints are loaded with ``torch.load(weights_only=True)``, which
+    rejects files embedding arbitrary python objects (older reference
+    runs pickled whole config objects). A full unpickle EXECUTES code
+    from the file, so it never happens implicitly: pass
+    ``allow_pickle=True`` only for checkpoints you trust.
     """
     import pickle
     import warnings
@@ -122,14 +129,17 @@ def load_torch_checkpoint(
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
     except (pickle.UnpicklingError, RuntimeError) as e:
-        # weights_only=True rejects checkpoints embedding arbitrary python
-        # objects (older reference runs pickled whole config objects).
-        # Falling back to a full unpickle EXECUTES code from the file —
-        # only do it knowingly, and never to paper over corrupt files.
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True ({e}). "
+                "Loading it requires a full unpickle, which runs code "
+                "embedded in the file. If you trust this checkpoint, "
+                "pass allow_pickle=True (CLI: --allow_pickle)."
+            ) from e
         warnings.warn(
             f"{path} is not loadable with weights_only=True ({e}); "
-            "retrying with weights_only=False, which runs pickled code — "
-            "only proceed for checkpoints you trust.",
+            "retrying with weights_only=False (allow_pickle=True), which "
+            "runs pickled code from the file.",
             stacklevel=2,
         )
         ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -58,6 +58,10 @@ def main():
                              "kmpc_tpu run directory")
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--allow_pickle", action="store_true",
+                        help="permit full unpickling of .pt checkpoints that "
+                             "fail the safe weights_only load (runs code "
+                             "embedded in the file; trusted files only)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -95,7 +99,7 @@ def main():
         )
 
         print(f"Loading reference torch checkpoint from {torch_ckpt}")
-        ckpt = load_torch_checkpoint(torch_ckpt)
+        ckpt = load_torch_checkpoint(torch_ckpt, allow_pickle=args.allow_pickle)
         cfg, model, params = ckpt["config"], ckpt["model"], ckpt["params"]
         fd = load_finance_data(cfg)
         check_finance_compatibility(fd, ckpt)

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
-from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas
 
 
 def _instance(B=8, H=5, N=20, seed=0):
@@ -16,43 +15,17 @@ def _instance(B=8, H=5, N=20, seed=0):
     return cw, ys
 
 
-def test_pallas_matches_xla_solver():
-    cw, ys = _instance()
-    # The kernel does not implement the post-iteration feasibility
-    # restoration sweep; compare the raw PDHG outputs.
-    params = MPCParams(max_iters=2000, sigma_scale=2.0, restore_feasibility=False)
-    w_ref, info_ref = solve_mpc_log_utility_batch(cw, ys, params)
-    w_pl, info_pl = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=8, interpret=True)
-    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_pl))) < 5e-4
-    assert np.max(np.abs(
-        np.asarray(info_ref["objective"]) - np.asarray(info_pl["objective"])
-    )) < 1e-5
+def test_packed_no_turnover_ball():
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
 
-
-def test_pallas_feasibility_and_padding():
-    # Batch not divisible by the tile; asset count far from 128.
-    cw, ys = _instance(B=11, N=7, seed=1)
-    params = MPCParams(max_iters=500, sigma_scale=2.0)
-    w, info = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=8, interpret=True)
-    w = np.asarray(w)
-    assert w.shape == (11, 5, 7)
-    assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
-    assert np.all(w >= -1e-6)
-    # Turnover cap respected.
-    u = np.diff(np.concatenate([np.asarray(cw)[:, None], w], axis=1), axis=1)
-    assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 2e-3)
-
-
-def test_pallas_no_turnover_ball():
     cw, ys = _instance(B=4, N=10, seed=2)
     params = MPCParams(max_iters=500, sigma_scale=2.0, max_turnover=0.0)
-    w, info = solve_mpc_log_utility_pallas(cw, ys, params, tile_b=4, interpret=True)
+    w, info = solve_mpc_log_utility_pallas_packed(
+        cw, ys, params, tile_b=128, interpret=True
+    )
     assert np.allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
-
-
-# ---------------------------------------------------------------------------
-# Batch-in-lanes ("packed") kernel
-# ---------------------------------------------------------------------------
+    w_x, _ = solve_mpc_log_utility_batch(cw, ys, params)
+    assert np.max(np.abs(np.asarray(w) - np.asarray(w_x))) < 5e-4
 
 
 def test_packed_matches_xla_solver():
@@ -138,7 +111,10 @@ def test_packed_warm_continuation():
     w_cold, _ = solve_mpc_log_utility_pallas_packed(
         cw, ys, replace(params, max_iters=800), interpret=True
     )
-    assert np.max(np.abs(np.asarray(w2) - np.asarray(w_cold))) < 5e-5
+    # Not bit-exact: the returned iterate is the XLA-matching extra
+    # half-step (w_last), so restarting from it perturbs the trajectory
+    # by one projected gradient step — same property as the XLA solver.
+    assert np.max(np.abs(np.asarray(w2) - np.asarray(w_cold))) < 5e-4
     w2x, _ = solve_mpc_log_utility_batch(
         cw, ys, p200, w_warm=w1, p_warm=i1["dual"]
     )
@@ -314,6 +290,31 @@ def test_packed_mean_variance_matches_xla():
     )
     w_x1, _ = solve_mpc_mean_variance_batch(cw, mu[:, :1], Sig, p)
     assert np.max(np.abs(np.asarray(w_r) - np.asarray(w_x1))) < 5e-5
+
+
+def test_packed_mean_variance_shared_sigma():
+    """An unbatched [N, N] covariance must not be expanded to [B, N, N]
+    host-side: it rides a constant-index-map VMEM block. Parity vs the
+    XLA solver with the broadcast Sigma, for both [N, N] and [1, N, N]."""
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    rng = np.random.default_rng(21)
+    B, H, N = 5, 3, 12
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((N, N)) * 0.05
+    Sig = jnp.asarray(A @ A.T + np.eye(N) * 1e-4, jnp.float32)
+    p = MPCParams(max_iters=1200, sigma_scale=2.0, gamma=5.0)
+    w_x, i_x = solve_mpc_mean_variance_batch(cw, mu, Sig, p)
+    for sig_in in (Sig, Sig[None]):
+        w_pk, i_pk = solve_mpc_mean_variance_pallas_packed(cw, mu, sig_in, p)
+        assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_pk))) < 5e-5
+        np.testing.assert_allclose(
+            np.asarray(i_pk["objective"]), np.asarray(i_x["objective"]),
+            atol=1e-6,
+        )
+        assert bool(jnp.all(i_pk["converged"]))
 
 
 def test_packed_mean_variance_fallbacks():

@@ -174,6 +174,38 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+def test_load_torch_checkpoint_pickle_gated(tmp_path):
+    """Checkpoints that fail the safe weights_only load must not be
+    silently unpickled: the retry (which executes pickled code) is gated
+    behind an explicit allow_pickle=True opt-in."""
+    import argparse
+
+    torch.manual_seed(3)
+    tm = _TorchGenericKM(use_bias=False)
+    cfg = _cfg_generic(use_bias=False)
+    path = tmp_path / "checkpoint.pt"
+    torch.save(
+        {
+            "step": 7,
+            "model_state_dict": tm.state_dict(),
+            "optimizer_state_dict": {},
+            "config": cfg.to_dict(),
+            # A non-weights object (reference runs pickled rich objects);
+            # weights_only=True rejects the whole file because of it.
+            "metrics": argparse.Namespace(loss=0.5),
+        },
+        path,
+    )
+
+    with pytest.raises(RuntimeError, match="allow_pickle"):
+        load_torch_checkpoint(str(path))
+
+    with pytest.warns(UserWarning, match="allow_pickle=True"):
+        ckpt = load_torch_checkpoint(str(path), allow_pickle=True)
+    assert ckpt["step"] == 7
+    assert ckpt["metrics"].loss == 0.5
+
+
 def test_export_inverse_roundtrip():
     cfg = _cfg_generic(use_bias=True)
     model = make_model(cfg, OBS)
