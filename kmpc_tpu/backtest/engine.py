@@ -74,34 +74,17 @@ class BuyAndHoldStrategy:
         return out.at[0].set(jnp.full((n,), 1.0 / n, out.dtype))
 
 
-@dataclass
-class KoopmanMPCStrategy:
-    """Koopman forecast + log-utility MPC (reference: backtest.py:67-131).
+class LogUtilityMPCRebalanceMixin:
+    """Shared rebalance logic for strategies that forecast per-date
+    log-returns (``aux['pred_log_returns']`` [T, H, N]) and solve the
+    log-utility MPC: the Koopman strategy and the DMD baseline differ
+    only in how the forecast is produced (reference: backtest.py:99-131
+    vs baselines.py:147-187 — the reference duplicates this block).
 
-    ``use_warm_start`` seeds each date's PDHG from the previous date's
-    primal/dual solution (faster at a fixed iteration budget) but, on
-    the near-flat faces of this LP-like program, warm and cold starts
-    can land on different equally-optimal points — breaking exact
-    agreement with the cold-started parallel path. Off by default:
-    determinism over a few hundred saved iterations.
+    Host classes provide ``mpc`` (MPCParams), ``use_warm_start`` and
+    ``use_fused_kernel`` attributes plus a ``precompute`` that fills
+    ``aux['pred_log_returns']``.
     """
-
-    model: KoopmanModel
-    params: Dict
-    mpc: MPCParams
-    use_warm_start: bool = False
-    use_fused_kernel: bool = False  # batch-in-lanes Pallas solver for the
-    # parallel (all-dates) path: ~1.5x faster, but an epsilon-different
-    # iterate on degenerate flat faces — opt-in so the scan-vs-parallel
-    # exactness guarantee keeps holding by default.
-
-    def precompute(self, fd: FinanceData, horizon: int) -> Dict[str, Any]:
-        """One batched H-step forecast for EVERY test date."""
-        preds = predict_returns(
-            self.model, self.params, fd.test, horizon,
-            fd.n_assets, fd.mean, fd.std,
-        )  # [T, H, N]
-        return {"pred_log_returns": preds}
 
     def rebalance(self, aux, t, current_weights, warm):
         preds = aux["pred_log_returns"][t]                  # [H, N]
@@ -151,6 +134,36 @@ class KoopmanMPCStrategy:
                 w_warm=w_warm, p_warm=p_warm,
             )
         return w[:, 0, :], (w, info["dual"])
+
+
+@dataclass
+class KoopmanMPCStrategy(LogUtilityMPCRebalanceMixin):
+    """Koopman forecast + log-utility MPC (reference: backtest.py:67-131).
+
+    ``use_warm_start`` seeds each date's PDHG from the previous date's
+    primal/dual solution (faster at a fixed iteration budget) but, on
+    the near-flat faces of this LP-like program, warm and cold starts
+    can land on different equally-optimal points — breaking exact
+    agreement with the cold-started parallel path. Off by default:
+    determinism over a few hundred saved iterations.
+    """
+
+    model: KoopmanModel
+    params: Dict
+    mpc: MPCParams
+    use_warm_start: bool = False
+    use_fused_kernel: bool = False  # batch-in-lanes Pallas solver for the
+    # parallel (all-dates) path: ~1.5x faster, but an epsilon-different
+    # iterate on degenerate flat faces — opt-in so the scan-vs-parallel
+    # exactness guarantee keeps holding by default.
+
+    def precompute(self, fd: FinanceData, horizon: int) -> Dict[str, Any]:
+        """One batched H-step forecast for EVERY test date."""
+        preds = predict_returns(
+            self.model, self.params, fd.test, horizon,
+            fd.n_assets, fd.mean, fd.std,
+        )  # [T, H, N]
+        return {"pred_log_returns": preds}
 
 
 @dataclass
@@ -215,14 +228,14 @@ class ScenarioKoopmanMPCStrategy:
 
 
 @dataclass
-class DMDStrategy:
+class DMDStrategy(LogUtilityMPCRebalanceMixin):
     """Linear-Koopman baseline: K = X' pinv(X) on train embeddings, linear
     rollout, same MPC (reference: baselines.py:109-187)."""
 
     mpc: MPCParams
     K: Optional[jax.Array] = None  # [obs, obs], x_{t+1} = K x_t (column form)
     use_warm_start: bool = False
-    use_fused_kernel: bool = False  # read by the borrowed rebalance_all
+    use_fused_kernel: bool = False  # read by the shared rebalance_all
 
     def fit(self, train_data: jax.Array) -> "DMDStrategy":
         X = train_data[:-1].T                               # [obs, T-1]
@@ -242,9 +255,6 @@ class DMDStrategy:
         _, rets = jax.lax.scan(body, fd.test, None, length=horizon)
         preds = jnp.moveaxis(rets, 0, 1)                    # [T, H, N]
         return {"pred_log_returns": preds}
-
-    rebalance = KoopmanMPCStrategy.rebalance
-    rebalance_all = KoopmanMPCStrategy.rebalance_all
 
 
 @dataclass

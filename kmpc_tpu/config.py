@@ -192,8 +192,13 @@ class MPCSolverConfig:
     MAX_ITERS: int = 2000        # fixed PDHG iteration count (branch-free under jit)
     TOL: float = 0.0             # 0 => always run MAX_ITERS (no data-dependent exit)
     STEP_SCALE: float = 1.0      # primal step safety factor
-    POLISH: bool = True          # active-set Newton polish for high-accuracy parity
-    POLISH_ITERS: int = 20
+    POLISH: bool = False         # float64 host semismooth-Newton polish after
+                                 # the PDHG solve (verification path: drives the
+                                 # fixed-point residual to ~1e-13 on accepted
+                                 # problems; runs on CPU, off the jit hot path).
+                                 # Honored by solve_mpc_log_utility and
+                                 # mpc_polish.solve_mpc_log_utility_batch_polished.
+    POLISH_NEWTON: int = 4       # damped Newton steps per polish
     PROJ_REFRESH_EVERY: int = 0  # >1: packed kernel runs 1 warm Michelot sweep
                                  # per PDHG iteration + a full-budget refresh
                                  # every k-th (~1.1x solver speed, ~5e-5

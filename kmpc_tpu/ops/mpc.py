@@ -83,6 +83,12 @@ class MPCParams:
                               # so a warm start needs only a few sweeps instead
                               # of the cold log2(n)-ish budget. 0 = cold
                               # full-budget projections every iteration.
+    polish: bool = False      # float64 host semismooth-Newton polish after the
+                              # solve (verification path; honored by
+                              # solve_mpc_log_utility and
+                              # mpc_polish.solve_mpc_log_utility_batch_polished
+                              # — the jitted *_batch solvers ignore it)
+    polish_newton: int = 4    # damped Newton steps per polish
     proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
                               # iteration and the full proj_warm_iters budget
                               # every k-th iteration (packed kernel only).
@@ -105,6 +111,8 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         max_iters=cfg.MPC.SOLVER.MAX_ITERS,
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
         proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
+        polish=cfg.MPC.SOLVER.POLISH,
+        polish_newton=cfg.MPC.SOLVER.POLISH_NEWTON,
     )
     if cfg.MPC.SOLVER.TOL > 0:
         base["feas_tol"] = cfg.MPC.SOLVER.TOL
@@ -417,7 +425,29 @@ def solve_mpc_log_utility(
     params: MPCParams,
 ) -> Tuple[np.ndarray, Dict]:
     """Single-problem convenience wrapper matching the reference signature
-    (reference: mpc.py:27-117). Prefer the *_batch entry points."""
+    (reference: mpc.py:27-117). Prefer the *_batch entry points.
+
+    With ``params.polish`` (cfg.MPC.SOLVER.POLISH=True) the PDHG result
+    is refined by the float64 host semismooth-Newton polish — the
+    high-accuracy verification path (see ops/mpc_polish.py)."""
+    if params.polish:
+        from kmpc_tpu.ops.mpc_polish import (
+            solve_mpc_log_utility_batch_polished,
+        )
+
+        w, info = solve_mpc_log_utility_batch_polished(
+            jnp.asarray(current_weights, dtype=jnp.float32),
+            jnp.asarray(predicted_log_returns, dtype=jnp.float32),
+            params,
+        )
+        return np.asarray(w), {
+            "status": "optimal" if bool(info["converged"]) else "not_converged",
+            "value": float(info["objective"]),
+            "turnover_violation": float(info["turnover_violation"]),
+            "polish_residual_before": float(info["residual_before"]),
+            "polish_residual_after": float(info["residual_after"]),
+            "polish_accepted": bool(info["accepted"]),
+        }
     w, info = _solve_log_jit(
         jnp.asarray(current_weights, dtype=jnp.float32),
         jnp.asarray(predicted_log_returns, dtype=jnp.float32),

@@ -43,8 +43,16 @@ def solve_mpc_log_utility_oracle(
     allow_short: bool = False,
     tol: float = 1e-12,
     max_iter: int = 3000,
+    ridge: float = 0.0,
 ) -> Tuple[np.ndarray, Dict]:
-    """High-accuracy solve of the log-utility MPC. Returns ([H,N], info)."""
+    """High-accuracy solve of the log-utility MPC. Returns ([H,N], info).
+
+    ``ridge`` adds the same eps/2 ||w||^2 tie-breaker as
+    ``MPCParams.ridge``: on the program's near-flat optimal faces the
+    optimum is otherwise non-unique and any two solvers can disagree in
+    weights while agreeing in objective; matching the ridge on both
+    sides makes weight-level parity well-posed (see RESULTS.md parity
+    CDF)."""
     H, N = predicted_log_returns.shape
     r = np.exp(predicted_log_returns)  # gross returns (reference: mpc.py:55)
     n = H * N
@@ -59,21 +67,29 @@ def solve_mpc_log_utility_oracle(
     def fun(x):
         w, s = unpack(x)
         port = np.einsum("tn,tn->t", w, r)
-        return -np.sum(np.log(np.maximum(port, 1e-300))) + cost_coeff * np.sum(s)
+        return (
+            -np.sum(np.log(np.maximum(port, 1e-300)))
+            + cost_coeff * np.sum(s)
+            + 0.5 * ridge * np.sum(w * w)
+        )
 
     def jac(x):
         w, s = unpack(x)
         port = np.einsum("tn,tn->t", w, r)
-        gw = -(r / np.maximum(port, 1e-300)[:, None])
+        gw = -(r / np.maximum(port, 1e-300)[:, None]) + ridge * w
         return np.concatenate([gw.ravel(), np.full(n, cost_coeff)])
 
     def hess(x):
-        # Exact Hessian: block-diagonal r_t r_t' / (w_t.r_t)^2 over t; zero
-        # in the s block. Quasi-Newton approximations are unreliable on this
-        # nearly-linear objective, so the exact Hessian is essential.
+        # Exact Hessian: block-diagonal r_t r_t' / (w_t.r_t)^2 over t (plus
+        # the ridge diagonal); zero in the s block. Quasi-Newton
+        # approximations are unreliable on this nearly-linear objective,
+        # so the exact Hessian is essential.
         w, s = unpack(x)
         port = np.maximum(np.einsum("tn,tn->t", w, r), 1e-300)
-        blocks = [np.outer(r[t], r[t]) / port[t] ** 2 for t in range(H)]
+        blocks = [
+            np.outer(r[t], r[t]) / port[t] ** 2 + ridge * np.eye(N)
+            for t in range(H)
+        ]
         Hw = sp.block_diag(blocks, format="csr")
         return sp.block_diag([Hw, sp.csr_matrix((n, n))], format="csr")
 

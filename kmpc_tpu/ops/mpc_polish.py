@@ -55,12 +55,17 @@ PDHG iterations + exact feasibility restoration instead.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from kmpc_tpu.ops.mpc import MPCParams, _apply_D, _apply_Dt
+from kmpc_tpu.ops.mpc import (
+    MPCParams,
+    _apply_D,
+    _apply_Dt,
+    _log_utility_objective,
+)
 from kmpc_tpu.ops.projections import _simplex_threshold
 
 
@@ -226,17 +231,30 @@ def polish_log_utility(
         dw = delta[..., :m].reshape(w_cur.shape)
         dp = delta[..., m:].reshape(p_cur.shape)
 
-        w_try = w_cur + dw
-        p_try = p_cur + dp
-        Rw_t, Rp_t, _ = residual_and_masks(w_try, p_try)
-        res_t = jnp.sqrt(
-            jnp.sum(Rw_t**2, axis=(-2, -1)) + jnp.sum(Rp_t**2, axis=(-2, -1))
-        )
-        ok = jnp.isfinite(res_t) & (res_t < res)
+        # Backtracking line search, branch-free: evaluate the residual at
+        # a fixed ladder of step sizes and keep the per-problem best. The
+        # full step's quadratic basin is tiny when the active set is
+        # about to change (semismooth kink crossings); shorter steps walk
+        # the iterate into the basin, after which a later full step
+        # converges superlinearly.
+        res_best = res
+        w_best, p_best = w_cur, p_cur
+        for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625):
+            w_try = w_cur + alpha * dw
+            p_try = p_cur + alpha * dp
+            Rw_t, Rp_t, _ = residual_and_masks(w_try, p_try)
+            res_t = jnp.sqrt(
+                jnp.sum(Rw_t**2, axis=(-2, -1))
+                + jnp.sum(Rp_t**2, axis=(-2, -1))
+            )
+            better = jnp.isfinite(res_t) & (res_t < res_best)
+            sel = better[..., None, None]
+            w_best = jnp.where(sel, w_try, w_best)
+            p_best = jnp.where(sel, p_try, p_best)
+            res_best = jnp.where(better, res_t, res_best)
+        ok = res_best < res
         accepted_any = accepted_any | ok
-        sel = ok[..., None, None]
-        w_cur = jnp.where(sel, w_try, w_cur)
-        p_cur = jnp.where(sel, p_try, p_cur)
+        w_cur, p_cur = w_best, p_best
 
     # Final projection maps polished primal-dual iterates back to a
     # primal-feasible point; problems where every Newton step was
@@ -259,3 +277,79 @@ def polish_log_utility(
         "accepted": accepted_any,
     }
     return w_out, info
+
+
+def solve_mpc_log_utility_batch_polished(
+    current_weights: jax.Array,
+    predicted_log_returns: jax.Array,
+    params: MPCParams,
+    cycles: int = 3,
+    continue_iters: Optional[int] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Verified solve: PDHG + float64 host (PDHG <-> Newton) alternation.
+
+    This is the verification path ``cfg.MPC.SOLVER.POLISH=True`` selects
+    (via ``MPCParams.polish``): the batched PDHG solve runs as usual
+    (float32, wherever the caller's arrays live), then on the CPU host
+    in float64 the iterate alternates ``cycles`` rounds of semismooth-
+    Newton polish and warm-started PDHG continuation. The alternation is
+    what makes the Newton step reliable: a single polish stalls on
+    iterates whose active set is still moving (its quadratic basin is
+    tiny near kink crossings), but each PDHG continuation re-identifies
+    the active set and hands the next Newton round a closer point.
+    Measured on the H=5/N=30 ridge=1e-3 instance family: 3 cycles take
+    100% of instances to fixed-point residual ~1e-16 — a machine-
+    precision KKT certificate — where one polish alone converges ~50%
+    (see RESULTS.md "Measured parity CDF"; at those certificates the
+    polished solutions strictly dominate scipy trust-constr's objective
+    on every instance tried).
+
+    Returns float64 weights and the PDHG info dict augmented with the
+    final polish's ``residual_before/after`` and ``accepted`` entries.
+    Not a hot-path function: use it for parity studies, oracle
+    comparisons, and anywhere machine-precision KKT points matter more
+    than throughput.
+    """
+    import numpy as np
+
+    from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
+
+    w, info = solve_mpc_log_utility_batch(
+        current_weights, predicted_log_returns, params
+    )
+    w_np = np.asarray(w, dtype=np.float64)
+    p_np = np.asarray(info["dual"], dtype=np.float64)
+    cw_np = np.asarray(current_weights, dtype=np.float64)
+    y_np = np.asarray(predicted_log_returns, dtype=np.float64)
+    if continue_iters is None:
+        continue_iters = max(500, params.max_iters // 2)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        cw64 = jnp.asarray(cw_np)
+        y64 = jnp.asarray(y_np)
+        w_cur = jnp.asarray(w_np)
+        p_cur = jnp.asarray(p_np)
+        from dataclasses import replace
+
+        cont = replace(params, max_iters=continue_iters)
+        pol_info = None
+        for cycle in range(max(1, cycles)):
+            w_cur, pol_info = polish_log_utility(
+                w_cur, p_cur, cw64, y64, params,
+                num_newton=params.polish_newton,
+            )
+            if cycle + 1 < cycles:
+                w_cur, cinfo = solve_mpc_log_utility_batch(
+                    cw64, y64, cont, w_warm=w_cur, p_warm=p_cur
+                )
+                p_cur = cinfo["dual"]
+        w_pol = w_cur
+        objective = _log_utility_objective(
+            w_pol, jnp.exp(y64), cw64, params.cost_coeff
+        )
+        w_pol.block_until_ready()
+    out_info = dict(info)
+    out_info.update(pol_info)
+    out_info["objective"] = objective
+    return w_pol, out_info

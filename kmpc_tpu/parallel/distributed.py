@@ -40,21 +40,32 @@ def initialize_distributed(
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
     Safe to call on a single host: becomes a no-op when there is nothing
     to coordinate.
+
+    ORDERING MATTERS: on a real pod ``jax.distributed.initialize`` must
+    run BEFORE anything initializes the local backend, so this function
+    inspects only its arguments, ``jax.distributed.is_initialized()``
+    (pure client state, no backend), and environment variables — never
+    ``jax.process_count()`` / ``jax.devices()``, which would force local
+    backend initialization and poison pod startup.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if explicit is None and "TPU_WORKER_HOSTNAMES" not in os.environ:
+    # Multi-host pod detection WITHOUT touching the backend: more than
+    # one worker hostname (a single entry — e.g. 'localhost' under the
+    # axon single-chip plugin — is not a pod).
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    pod_env = (
+        len([h for h in hostnames.split(",") if h.strip()]) > 1
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    )
+    if explicit is None and num_processes is None and not pod_env:
         return  # single host, nothing to do
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (RuntimeError, ValueError) as e:  # pragma: no cover - env dependent
-        if "already" not in str(e).lower():
-            raise
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_global_mesh(

@@ -26,3 +26,22 @@ jax.config.update("jax_enable_x64", False)
 # Deterministic full-precision matmuls for numerical assertions; production
 # code keeps the backend default (fast bf16 passes on the TPU MXU).
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (subprocess CLIs, multi-process "
+             "runs, 30k-iteration parity solves)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return  # explicit marker expressions select freely
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
