@@ -97,7 +97,10 @@ def load_price_data(
 
     if synthetic:
         prices = generate_synthetic_prices(tickers, start_date, end_date, seed=synthetic_seed)
-    else:  # pragma: no cover - network path, kept for real-data deployments
+    else:
+        # Real-data branch (reference: data_finance.py:90-144). Network
+        # egress happens only here; tests exercise it with a stub
+        # yfinance module returning a reference-format frame.
         import yfinance as yf
 
         data = yf.download(tickers, start=start_date, end=end_date, auto_adjust=True, progress=False)
