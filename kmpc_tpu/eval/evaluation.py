@@ -224,6 +224,17 @@ def _save_system_plots(
                                  max_samples=settings.phase_portrait_samples)
     files["phase_portrait_overlay"] = str(path)
 
+    # One portrait per rollout mode (reference: evaluation.py:282-345).
+    for mode_name, pred in predictions.items():
+        p = system_dir / f"phase_portrait_{mode_name}.png"
+        _save_phase_portrait_single_mode(
+            true_future, pred, p,
+            max_samples=settings.phase_portrait_samples,
+            title=f"Phase portrait ({mode_name})",
+        )
+        if p.exists():
+            files[f"phase_portrait_{mode_name}"] = str(p)
+
     path = system_dir / "mse_vs_horizon.png"
     _save_mse_curves(
         {m: d["mse_curve"] for m, d in mode_metrics.items()}, settings.horizons, path
@@ -280,6 +291,50 @@ def _save_phase_portrait_overlay(
     ax.set_xlabel("x1")
     ax.set_ylabel("x2")
     ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+
+
+def _save_phase_portrait_single_mode(
+    true_future: np.ndarray,
+    predicted: np.ndarray,
+    path: Path,
+    max_samples: int = 20,
+    title: Optional[str] = None,
+    axis_lim: float = 2.5,
+) -> None:
+    """One rollout mode, each trajectory in its own tab20 color with
+    ground truth in light gray on top (reference: evaluation.py:282-345;
+    same finite-filter, layering, limits and equal-aspect semantics).
+
+    true_future / predicted: [time, batch, state_dim].
+    """
+    if true_future.shape[-1] < 2:
+        return
+    plt = _mpl()
+    batch = predicted.shape[1]
+    finite = np.isfinite(
+        predicted.reshape(predicted.shape[0], batch, -1)
+    ).all(axis=(0, 2))
+    idx = np.nonzero(finite)[0][:max_samples]
+    if len(idx) == 0:
+        return
+
+    fig, ax = plt.subplots(1, 1, figsize=(7, 6))
+    cmap = plt.get_cmap("tab20", len(idx))
+    for j, b in enumerate(idx):
+        ax.plot(predicted[:, b, 0], predicted[:, b, 1],
+                color=cmap(j), linewidth=1.5, zorder=2)
+        ax.plot(true_future[:, b, 0], true_future[:, b, 1],
+                color=(0.6, 0.6, 0.6), alpha=0.5, linewidth=1.5, zorder=3)
+    ax.set_xlabel("x1")
+    ax.set_ylabel("x2")
+    ax.set_title(title or "Phase portrait (single mode)")
+    ax.set_xlim(-axis_lim, axis_lim)
+    ax.set_ylim(-axis_lim, axis_lim)
+    ax.set_aspect("equal", adjustable="box")
+    ax.grid(True, linestyle=":", alpha=0.4)
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
@@ -368,25 +423,174 @@ def _estimate_attractors(trajectories: np.ndarray, decimals: int = 1) -> np.ndar
     return np.unique(rounded, axis=0)
 
 
-def _save_lyapunov_comparison(model, params, system, system_dir: Path) -> Dict[str, str]:
-    """True vs learned basins-of-attraction Voronoi comparison + magnitude
-    histograms (reference: evaluation.py:433-724)."""
+def _save_vector_magnitude_histogram(magnitudes, path: Path, title: str):
+    """Histogram of vector-field magnitudes (reference: evaluation.py:433-458)."""
     plt = _mpl()
-    from scipy.spatial import cKDTree
+    fig, ax = plt.subplots(figsize=(6, 4))
+    mags = np.asarray(magnitudes).ravel()
+    mags = mags[np.isfinite(mags)]
+    if len(mags):
+        ax.hist(mags, bins=50, alpha=0.8, density=True)
+    ax.set_xlabel("|dx/dt|")
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+
+
+def _save_lyapunov_comparison(
+    model, params, system, system_dir: Path,
+    num_trajectories: int = 12, grid_lim: float = 3.0, grid_n: int = 15,
+) -> Dict[str, str]:
+    """True-vs-learned attractor comparison with Voronoi-region
+    rendering, vector-field quivers, nearest-attractor-colored
+    trajectories, per-panel magnitude histograms, and a basin-assignment
+    grid (reference: evaluation.py:433-724). The reference evaluates the
+    15x15 vector grid and every trajectory one sample at a time; here
+    each panel's grid is ONE batched step and the trajectories are one
+    batched scan."""
+    plt = _mpl()
+    from matplotlib import cm
+    from scipy.spatial import Voronoi, cKDTree
 
     files: Dict[str, str] = {}
+    dt = float(system.dt)
+    steps = max(int(8.0 / dt), 75)
 
-    # Sample a grid of initial conditions, roll both dynamics to their
-    # attractors, compare assignments.
-    grid = np.linspace(-2.5, 2.5, 15)
-    xx, yy = np.meshgrid(grid, grid)
+    # True attractor points come from the system's definition; learned
+    # ones are estimated from rollout endpoints (reference:
+    # evaluation.py:461-517).
+    from kmpc_tpu.data.systems import _LYAPUNOV_POINTS
+
+    true_points = np.asarray(_LYAPUNOV_POINTS)
+    est_key = jax.random.PRNGKey(777)
+    est_x0 = jax.random.uniform(
+        est_key, (max(grid_n**2, 64), 2), minval=-grid_lim, maxval=grid_lim
+    )
+    est_traj = np.asarray(rollout(model, params, est_x0, steps, 1))
+    learned_points = _estimate_attractors(est_traj)
+    # Tolerance-cluster like the reference (0.2 ball): greedy dedup.
+    if len(learned_points):
+        kept = []
+        for p in learned_points:
+            if not kept or np.min(
+                np.linalg.norm(np.asarray(kept) - p, axis=-1)
+            ) > 0.2:
+                kept.append(p)
+        learned_points = np.asarray(kept)
+
+    # Vector-field grids (one batched evaluation per panel).
+    xs = np.linspace(-grid_lim, grid_lim, grid_n)
+    X, Y = np.meshgrid(xs, xs)
+    grid_states = jnp.asarray(
+        np.stack([X.ravel(), Y.ravel()], axis=-1), dtype=jnp.float32
+    )
+    vel_true = (np.asarray(system.step(grid_states)) - np.asarray(grid_states)) / dt
+    vel_learned = (
+        np.asarray(model.step_env(params, grid_states)) - np.asarray(grid_states)
+    ) / dt
+
+    # Trajectory fans from random ICs (one batched scan per panel).
+    rng = np.random.default_rng(42)
     x0 = jnp.asarray(
-        np.stack([xx.ravel(), yy.ravel()], axis=-1), dtype=jnp.float32
+        rng.uniform(-2.5, 2.5, size=(num_trajectories, 2)), jnp.float32
+    )
+    traj_true = np.concatenate(
+        [np.asarray(x0)[None], np.asarray(system.trajectory(x0, steps))], 0
+    )
+    traj_learned = np.concatenate(
+        [np.asarray(x0)[None], np.asarray(rollout(model, params, x0, steps, 1))], 0
     )
 
-    true_traj = np.asarray(system.trajectory(x0, 2000))
-    pred_traj = np.asarray(rollout(model, params, x0, 2000, 1))
+    fig, axes = plt.subplots(1, 2, figsize=(20, 8))
+    panels = [
+        (axes[0], "True System", true_points, vel_true, traj_true, "o", 0.25),
+        (axes[1], "Learned System", learned_points, vel_learned,
+         traj_learned, "s", 0.2),
+    ]
+    for ax, title, points, vel, trajs, marker, fill_alpha in panels:
+        display = points if len(points) else true_points
+        colors = cm.tab20(np.linspace(0, 1, max(len(display), 1)))
 
+        # Voronoi regions of the attractor points (reference:
+        # evaluation.py:579-604).
+        if len(display) >= 3:
+            vor = Voronoi(display)
+            for i, region_idx in enumerate(vor.point_region):
+                region = vor.regions[region_idx]
+                if not region or -1 in region:
+                    continue
+                verts = np.asarray([vor.vertices[j] for j in region])
+                if len(verts):
+                    ax.fill(verts[:, 0], verts[:, 1],
+                            color=colors[i % len(colors)],
+                            alpha=fill_alpha, zorder=1)
+            for simplex in vor.ridge_vertices:
+                simplex = np.asarray(simplex)
+                if np.all(simplex >= 0):
+                    ax.plot(vor.vertices[simplex, 0], vor.vertices[simplex, 1],
+                            "k-", linewidth=1.0, alpha=0.75, zorder=2)
+
+        U = vel[:, 0].reshape(grid_n, grid_n)
+        V = vel[:, 1].reshape(grid_n, grid_n)
+        mags = np.sqrt(U**2 + V**2)
+        den = np.where(mags == 0, 1.0, mags)
+        max_mag = float(np.nanmax(mags)) if mags.size else 0.0
+        lws = (0.75 + 2.25 * (mags / (max_mag + 1e-6))
+               if max_mag > 0 else np.full_like(mags, 0.75))
+        ax.quiver(X, Y, U / den, V / den, color="gray", alpha=0.65,
+                  scale=25, linewidths=lws.ravel(), zorder=3)
+
+        suffix = "learned" if title.startswith("Learned") else "true"
+        hist_path = system_dir / f"phase_portrait_vector_hist_{suffix}.png"
+        _save_vector_magnitude_histogram(
+            mags, hist_path, f"{title} vector magnitudes"
+        )
+        files[f"phase_portrait_vector_hist_{suffix}"] = str(hist_path)
+
+        for k, p in enumerate(display):
+            ax.plot(p[0], p[1], marker, color=colors[k % len(colors)],
+                    markersize=10, markeredgecolor="black",
+                    markeredgewidth=2, zorder=6)
+
+        # Trajectories colored by nearest attractor of the panel.
+        for b in range(trajs.shape[1]):
+            t = trajs[:, b]
+            t = t[np.all(np.isfinite(t), axis=-1)]
+            if len(t) == 0:
+                continue
+            dists = np.linalg.norm(display - t[-1], axis=-1)
+            color = colors[int(np.argmin(dists)) % len(colors)]
+            ax.plot(t[:, 0], t[:, 1], color=color, lw=2.0, alpha=0.9, zorder=4)
+            ax.plot(t[0, 0], t[0, 1], marker, color=color, markersize=6,
+                    alpha=0.9, markeredgecolor="white", markeredgewidth=1,
+                    zorder=5)
+
+        ax.set_xlim(-grid_lim, grid_lim)
+        ax.set_ylim(-grid_lim, grid_lim)
+        ax.set_xlabel("x1", fontsize=12)
+        ax.set_ylabel("x2", fontsize=12)
+        ax.set_title(title if suffix == "true" else f"{title} (Voronoi est.)",
+                     fontsize=14)
+        ax.grid(True, alpha=0.3)
+        ax.set_aspect("equal")
+
+    fig.tight_layout()
+    comp_path = system_dir / "phase_portrait_comparison.png"
+    fig.savefig(comp_path, dpi=150)
+    plt.close(fig)
+    files["phase_portrait_comparison"] = str(comp_path)
+
+    # Basin-assignment grid: roll a 15x15 IC grid under both dynamics,
+    # color each IC by the attractor its endpoint lands nearest (the
+    # quantitative view the Voronoi panels approximate geometrically).
+    grid = np.linspace(-2.5, 2.5, 15)
+    xx, yy = np.meshgrid(grid, grid)
+    bx0 = jnp.asarray(
+        np.stack([xx.ravel(), yy.ravel()], axis=-1), dtype=jnp.float32
+    )
+    true_traj = np.asarray(system.trajectory(bx0, 2000))
+    pred_traj = np.asarray(rollout(model, params, bx0, 2000, 1))
     true_attr = _estimate_attractors(true_traj)
     tree = cKDTree(true_attr) if len(true_attr) else None
 
@@ -401,20 +605,18 @@ def _save_lyapunov_comparison(model, params, system, system_dir: Path) -> Dict[s
             _, assign = tree.query(np.clip(finals[ok], -10, 10))
         else:
             assign = np.zeros(int(ok.sum()), dtype=int)
-        ax.scatter(
-            np.asarray(x0)[ok, 0], np.asarray(x0)[ok, 1],
-            c=assign, s=18, cmap="tab20", marker="s",
-        )
+        ax.scatter(np.asarray(bx0)[ok, 0], np.asarray(bx0)[ok, 1],
+                   c=assign, s=18, cmap="tab20", marker="s")
         if len(true_attr):
             ax.scatter(true_attr[:, 0], true_attr[:, 1], c="k", s=30, marker="x")
         ax.set_title(f"basins: {title}")
     fig.tight_layout()
-    comp_path = system_dir / "phase_portrait_comparison.png"
-    fig.savefig(comp_path, dpi=150)
+    basin_path = system_dir / "basin_assignment.png"
+    fig.savefig(basin_path, dpi=150)
     plt.close(fig)
-    files["phase_portrait_comparison"] = str(comp_path)
+    files["basin_assignment"] = str(basin_path)
 
-    # Vector-magnitude histograms (reference: evaluation.py:433-458).
+    # Vector-magnitude histogram over trajectories (kept from round 1).
     fig, ax = plt.subplots(figsize=(6, 4))
     tm = np.linalg.norm(true_traj.reshape(-1, 2), axis=-1)
     pm = np.linalg.norm(pred_traj.reshape(-1, 2), axis=-1)

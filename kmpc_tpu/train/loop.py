@@ -559,6 +559,7 @@ def train_finance(
         print(f"Warning: failed to generate finance plots: {e}")
 
     logger.close()
+    _plot_training_curves(run_dir, verbose)
     return state, model, run_dir
 
 
@@ -665,11 +666,26 @@ def train_system(
                 save_checkpoint(run_dir / "checkpoint", state, done, cfg.to_dict())
 
     logger.close()
+    _plot_training_curves(run_dir, verbose)
 
     if final_eval:
         _post_training_evaluation(cfg, model, state, run_dir, verbose)
 
     return state, model, run_dir
+
+
+def _plot_training_curves(run_dir, verbose: bool = True) -> None:
+    """End-of-run training-curve figure from metrics_history.jsonl
+    (reference: train.py:510-519 — same best-effort semantics)."""
+    try:
+        from plot_training_metrics import plot_metrics
+
+        out = Path(run_dir) / "training_metrics.png"
+        plot_metrics(log_dir=Path(run_dir), save_path=out)
+        if verbose:
+            print(f"Training metrics plot saved to {out}")
+    except Exception as e:  # pragma: no cover - plotting best-effort
+        print(f"Warning: failed to plot training metrics: {e}")
 
 
 def _post_training_evaluation(cfg, model, state, run_dir, verbose):

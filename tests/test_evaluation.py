@@ -155,6 +155,9 @@ def test_evaluate_model_end_to_end(tmp_path):
     assert "duffing" in saved
     assert (tmp_path / "duffing" / "mse_vs_horizon.png").exists()
     assert (tmp_path / "duffing" / "phase_portrait_plot_eval.png").exists()
+    # Single-mode portraits (reference: evaluation.py:282-345): one per mode.
+    for mode in ("no_reencode", "every_step", "periodic_5", "periodic_10"):
+        assert (tmp_path / "duffing" / f"phase_portrait_{mode}.png").exists()
 
 
 def test_evaluate_model_skips_incompatible_system():
@@ -180,3 +183,13 @@ def test_evaluate_model_lyapunov_plots(tmp_path):
     files = results["lyapunov"]["files"]
     assert "phase_portrait_comparison" in files
     assert "magnitude_histogram" in files
+    # Reference artifact set (evaluation.py:520-724): Voronoi comparison
+    # panels plus per-panel vector-magnitude histograms and basins.
+    assert "phase_portrait_vector_hist_true" in files
+    assert "phase_portrait_vector_hist_learned" in files
+    assert "basin_assignment" in files
+    from pathlib import Path as _P
+
+    for key in ("phase_portrait_comparison", "phase_portrait_vector_hist_true",
+                "phase_portrait_vector_hist_learned", "basin_assignment"):
+        assert _P(files[key]).exists(), key
