@@ -287,7 +287,10 @@ def bench_scaling(batch, iters, reps, n_devices=8):
     )
     t1 = time_solve(single)
 
-    mesh = make_mesh({"data": 2, "scenario": n_devices // 2, "model": 1})
+    data_ax = 2 if n_devices >= 2 else 1
+    mesh = make_mesh(
+        {"data": data_ax, "scenario": n_devices // data_ax, "model": 1}
+    )
     t8 = time_solve(sharded_mpc_solver(mesh, params))
 
     return {
@@ -295,7 +298,9 @@ def bench_scaling(batch, iters, reps, n_devices=8):
         "unsharded_time_s": round(t1, 4),
         "sharded_time_s": round(t8, 4),
         "n_virtual_devices": n_devices,
-        "mesh": "data=2,scenario=%d,model=1" % (n_devices // 2),
+        "mesh": "data=%d,scenario=%d,model=1" % (
+            data_ax, n_devices // data_ax
+        ),
         "batch": batch,
         "pdhg_iters": iters,
         "note": "virtual CPU mesh: same cores do the work either way; "
@@ -372,6 +377,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="virtual CPU devices for --mode scaling")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -408,8 +415,9 @@ def main():
         res = bench_markowitz(args.batch or 4096, args.iters, args.reps)
         metric = "mean_variance_solves_per_s_per_chip_H1_N30"
     elif args.mode == "scaling":
-        res = bench_scaling(args.batch or 4096, args.iters, args.reps)
-        metric = "spmd_partitioning_efficiency_virtual8_cpu_mesh"
+        res = bench_scaling(args.batch or 4096, args.iters, args.reps,
+                            n_devices=args.devices)
+        metric = f"spmd_partitioning_efficiency_virtual{args.devices}_cpu_mesh"
         baseline = 0.8  # >=80% scaling-efficiency north star (proxy)
     else:  # train
         res = bench_train(args.reps)

@@ -108,6 +108,21 @@ class KoopmanModel:
 
     # ------------------------------------------------------------- core ops
 
+    @staticmethod
+    def _safe_norm(v: jax.Array, axis: int = -1) -> jax.Array:
+        """L2 norm with a ZERO subgradient at v = 0 (torch's convention).
+
+        ``jnp.linalg.norm`` backpropagates v/||v|| -> NaN on exactly-zero
+        rows. With sparse LISTA codes that case is ROUTINE: a sample whose
+        codes are fully soft-thresholded on both sides makes the residual
+        row exactly zero, and one such sample in a batch poisons every
+        gradient (observed: the z=2048 'lista' preset diverged to NaN at
+        step 1 at batch 256). The reference never hits this because
+        torch.norm special-cases the zero-vector subgradient to 0."""
+        sq = jnp.sum(v * v, axis=axis)
+        is_zero = sq == 0.0
+        return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
     def _apply_norm(self, z: jax.Array) -> jax.Array:
         """Latent normalization (reference: model.py:740-754)."""
         if self.norm_fn == "id":
@@ -175,8 +190,8 @@ class KoopmanModel:
         """
         y = self.encode(params, x)
         ny = self.encode(params, nx)
-        return jnp.linalg.norm(
-            jnp.matmul(y, params["kmat"], preferred_element_type=y.dtype) - ny, axis=-1
+        return self._safe_norm(
+            jnp.matmul(y, params["kmat"], preferred_element_type=y.dtype) - ny
         )
 
     def reconstruction(self, params: Dict, x: jax.Array) -> jax.Array:
@@ -205,17 +220,17 @@ class KoopmanModel:
         prediction = self.decode(
             params, jnp.matmul(zx, kmat, preferred_element_type=zx.dtype)
         )
-        prediction_loss = jnp.mean(jnp.linalg.norm(prediction - nx, axis=-1))
+        prediction_loss = jnp.mean(self._safe_norm(prediction - nx))
 
         residual_loss = jnp.mean(
-            jnp.linalg.norm(
-                jnp.matmul(zx, kmat, preferred_element_type=zx.dtype) - znx, axis=-1
+            self._safe_norm(
+                jnp.matmul(zx, kmat, preferred_element_type=zx.dtype) - znx
             )
         )
 
         reconst_loss = jnp.mean(
-            jnp.linalg.norm(x - self.decode(params, zx), axis=-1)
-        ) + jnp.mean(jnp.linalg.norm(nx - self.decode(params, znx), axis=-1))
+            self._safe_norm(x - self.decode(params, zx))
+        ) + jnp.mean(self._safe_norm(nx - self.decode(params, znx)))
 
         alpha = self.lista_alpha if self.model_name == "LISTAKM" else 1.0
         sparsity_loss = 0.5 * alpha * (
@@ -377,10 +392,18 @@ class KoopmanModel:
 
 
 def spectral_metrics(params: Dict) -> Dict[str, float]:
-    """Max real part and max modulus of the Koopman spectrum."""
+    """Max real part and max modulus of the Koopman spectrum.
+
+    A diverged run (non-finite kmat) reports NaN metrics instead of
+    crashing the logging path mid-training."""
     import numpy as np
 
     kmat = np.asarray(params["kmat"])
+    if not np.all(np.isfinite(kmat)):
+        return {
+            "A_max_eigenvalue_real": float("nan"),
+            "A_max_eigenvalue": float("nan"),
+        }
     eig = np.linalg.eigvals(kmat)
     return {
         "A_max_eigenvalue_real": float(np.max(eig.real)),

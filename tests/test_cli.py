@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLIs / long solves: run with --runslow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

@@ -423,3 +423,32 @@ def test_model_jittable():
     loss_jit = jax.jit(lambda p, a, b: model.loss(p, a, b)[0])
     val = loss_jit(params, x, nx)
     assert np.isfinite(float(val))
+
+
+def test_lista_loss_gradients_finite_with_dead_codes():
+    """Regression: a sample whose sparse codes are fully soft-thresholded
+    to zero makes the residual row exactly 0; jnp.linalg.norm would
+    backpropagate NaN there (torch zero-subgradients it), which diverged
+    the z=2048 'lista' preset at step 1. The safe norm must keep every
+    gradient finite and the loss value identical."""
+    import jax
+
+    from kmpc_tpu.config import get_config
+
+    cfg = get_config("lista")
+    cfg.MODEL.TARGET_SIZE = 64
+    model = make_model(cfg, 2)
+    params = model.init(jax.random.PRNGKey(0))
+    # One normal sample + one tiny sample that thresholds to all-zero
+    # codes (alpha/L = 0.05 vs |We x| ~ 1e-4 * |x|).
+    x = jnp.asarray([[1.0, -0.7], [1e-6, -1e-6]], jnp.float32)
+    nx = jnp.asarray([[0.99, -0.69], [1e-6, -1e-6]], jnp.float32)
+    z = model.encode(params, x)
+    assert float(jnp.sum(jnp.abs(z[1]))) == 0.0, "test premise: dead codes"
+
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: model.loss(p, x, nx), has_aux=True
+    )(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "NaN gradient"

@@ -1,6 +1,7 @@
 """Pallas fused-solver tests (interpret mode on CPU): numerical agreement
 with the XLA-scan solver, padding/masking correctness."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def test_packed_no_turnover_ball():
     assert np.max(np.abs(np.asarray(w) - np.asarray(w_x))) < 5e-4
 
 
+@pytest.mark.slow
 def test_packed_matches_xla_solver():
     from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
 
@@ -61,6 +63,7 @@ def test_packed_feasibility_odd_shapes():
     assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 2e-3)
 
 
+@pytest.mark.slow
 def test_packed_shape_fuzz():
     """Edge shapes: tiny batch, H=1, asset counts straddling the sublane
     tile. Feasibility must hold exactly; objective must track the XLA
@@ -121,6 +124,7 @@ def test_packed_warm_continuation():
     assert np.max(np.abs(np.asarray(w2) - np.asarray(w2x))) < 5e-4
 
 
+@pytest.mark.slow
 def test_packed_scenarios_match_xla():
     from kmpc_tpu.ops.mpc_pallas import (
         solve_mpc_log_utility_scenarios_packed,
@@ -258,6 +262,7 @@ def test_packed_refresh_schedule_matches_full_budget():
     assert mpc_params_from_config(cfg).proj_refresh_every == 8
 
 
+@pytest.mark.slow
 def test_packed_mean_variance_matches_xla():
     """Packed MV kernel (Markowitz's program) vs the XLA solver: same
     iteration, same info keys, tight parity (the MV objective is a real
@@ -364,6 +369,7 @@ def test_markowitz_fused_matches_unfused():
     assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_fused))) < 5e-5
 
 
+@pytest.mark.slow
 def test_fallback_info_structure_matches_packed():
     """The XLA-fallback paths must return the SAME info pytree structure
     as the kernel paths — shard_map callers (parallel/mesh.py) declare
@@ -409,6 +415,7 @@ def test_fallback_info_structure_matches_packed():
     assert struct(s_pk) == struct(s_fb)
 
 
+@pytest.mark.slow
 def test_packed_mean_variance_shape_fuzz():
     """MV kernel edge shapes: H=1 (the Markowitz shape, exercises the
     0-size-slice guard), odd asset counts straddling the sublane tile,

@@ -5,6 +5,8 @@ why the float32 path is expected to be a conservative no-op)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # f64 subprocess + 3k-iteration solves
+
 
 def test_jacobian_matches_autodiff_and_f64_newton_converges():
     import jax

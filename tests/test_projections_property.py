@@ -1,6 +1,7 @@
 """Property-based projection tests (hypothesis): the Michelot projections
 must satisfy exact feasibility + variational optimality for ANY input."""
 
+import pytest
 import numpy as np
 from hypothesis import given, settings, strategies as st
 from hypothesis.extra import numpy as hnp
@@ -8,6 +9,8 @@ from hypothesis.extra import numpy as hnp
 import jax.numpy as jnp
 
 from kmpc_tpu.ops.projections import project_l1_ball, project_simplex
+
+pytestmark = pytest.mark.slow  # subprocess CLIs / long solves: run with --runslow
 
 
 vectors = hnp.arrays(

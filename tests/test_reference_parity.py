@@ -535,6 +535,7 @@ def test_koopman_forecast_parity(ref, envs, shared_koopman):
                       msg=f"H-step forecast at t={t}")
 
 
+@pytest.mark.slow
 def test_backtest_system_parity_koopman_mpc(ref, envs, shared_koopman):
     """End-to-end: reference loop + trust-constr oracle (stand-in for its
     CVXPY/ECOS solve) vs engine scan + batched PDHG. Solvers differ, so

@@ -124,6 +124,7 @@ def test_engine_matches_reference_semantics():
     assert abs(m_ref["Max Drawdown"] - m_eng["Max Drawdown"]) < 0.01
 
 
+@pytest.mark.slow
 def test_fused_parallel_engine_matches_reference_semantics():
     """The FULL fast path — packed Pallas kernel (interpret mode on CPU),
     proj_refresh_every sweep schedule, Jacobi parallel backtest with

@@ -154,6 +154,7 @@ def test_sharded_train_step_matches_single_device():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_mpc_matches_unsharded():
     mesh = make_mesh({"data": 2, "scenario": 4, "model": 1})
     params = MPCParams(max_iters=300)
@@ -241,6 +242,7 @@ def test_scaling_report():
 
 
 @requires_8
+@pytest.mark.slow
 def test_train_finance_with_parallel_config(tmp_path):
     """cfg.PARALLEL drives mesh sharding inside train_finance."""
     from kmpc_tpu.config import FinanceConfig, get_config

@@ -191,6 +191,7 @@ def test_dispatch_chunks_hit_boundaries():
                 assert s in ends, (s, chunks)
 
 
+@pytest.mark.slow
 def test_train_finance_fused_dispatch_end_to_end(tmp_path):
     """train_finance with STEPS_PER_DISPATCH>1 produces the same final
     params as the per-step path (identical RNG stream)."""
@@ -288,6 +289,7 @@ def test_train_finance_end_to_end(tmp_path):
     assert (run_dir / "last" / "arrays.npz").exists()
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     cfg = _tiny_cfg(seq=True)
     state, model, run_dir = train(cfg, log_dir=str(tmp_path), verbose=False)
