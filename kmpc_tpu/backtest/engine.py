@@ -226,6 +226,33 @@ class ScenarioKoopmanMPCStrategy:
         )
         return w[:, 0, :]
 
+    def rebalance_all_warm(self, aux, current_weights, warm, max_iters=None):
+        """All-dates scenario solve carrying (primal, dual) iterates
+        across Jacobi sweeps (same contract as
+        KoopmanMPCStrategy.rebalance_all_warm)."""
+        from dataclasses import replace
+
+        from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+        mpc = self.mpc if max_iters is None else replace(
+            self.mpc, max_iters=max_iters
+        )
+        w_warm, p_warm = warm if warm is not None else (None, None)
+        if self.use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_log_utility_scenarios_packed,
+            )
+            w, info = solve_mpc_log_utility_scenarios_packed(
+                current_weights, aux["scenario_log_returns"], mpc,
+                w_warm=w_warm, p_warm=p_warm, return_dual=True,
+            )
+        else:
+            w, info = solve_mpc_log_utility_scenarios(
+                current_weights, aux["scenario_log_returns"], mpc,
+                w_warm=w_warm, p_warm=p_warm,
+            )
+        return w[:, 0, :], (w, info["dual"])
+
 
 @dataclass
 class DMDStrategy(LogUtilityMPCRebalanceMixin):

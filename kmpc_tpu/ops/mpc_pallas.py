@@ -559,25 +559,37 @@ def solve_mpc_log_utility_scenarios_packed(
     params: MPCParams,
     tile_b: Optional[int] = None,
     interpret: bool = False,
+    w_warm: Optional[jax.Array] = None,
+    p_warm: Optional[jax.Array] = None,
+    return_dual: bool = False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batch-in-lanes fused scenario-averaged Kelly solve.
 
     [B, N] x [B, S, H, N] -> ([B, H, N], info); numerics match
     ops/scenario.py::solve_mpc_log_utility_scenarios (same iteration;
-    the smooth gradient is the scenario average).
+    the smooth gradient is the scenario average), including its
+    ``w_warm``/``p_warm`` iterate warm starts; ``return_dual`` adds
+    ``info['dual']`` for carrying warm state across repeated solves
+    (e.g. Jacobi backtest sweeps).
     """
     B, S, H, N = scenario_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
+    warm_start = w_warm is not None
     if tile_b is None:
-        tile_b = _default_tile_b_packed(H, NP, S=S)
+        tile_b = _default_tile_b_packed(
+            H, NP, S=S,
+            extra_blocks=(2 if warm_start else 0) + (1 if return_dual else 0),
+        )
     if _needs_xla_fallback(params) or tile_b is None:
         from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
 
         w, info = solve_mpc_log_utility_scenarios(
-            current_weights, scenario_log_returns, params
+            current_weights, scenario_log_returns, params,
+            w_warm=w_warm, p_warm=p_warm,
         )
-        return w, _match_packed_info(info, num_scenarios=S)
+        return w, _match_packed_info(info, num_scenarios=S,
+                                     return_dual=return_dual)
     interpret = interpret or jax.default_backend() == "cpu"
 
     Bp = ((B + tile_b - 1) // tile_b) * tile_b
@@ -588,35 +600,57 @@ def solve_mpc_log_utility_scenarios_packed(
     cw_pad = jnp.pad(cw_t, ((0, NP - N), (0, Bp - B)))
 
     cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
-    kernel = _make_packed_kernel(params, H, N, NP, cold_iters, S=S)
+    kernel = _make_packed_kernel(params, H, N, NP, cold_iters, S=S,
+                                 warm_start=warm_start,
+                                 return_dual=return_dual)
     grid = (Bp // tile_b,)
 
-    w_pad, fp_pad = pl.pallas_call(
+    block3 = pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    fp_spec = pl.BlockSpec((1, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((NP, tile_b), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, H, NP, tile_b), lambda i: (0, 0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [cw_pad, r_pad]
+    if warm_start:
+        def pack3(x):
+            return jnp.pad(
+                jnp.transpose(x.astype(dtype), (1, 2, 0)),
+                ((0, 0), (0, NP - N), (0, Bp - B)),
+            )
+        operands += [pack3(w_warm),
+                     pack3(p_warm if p_warm is not None
+                           else jnp.zeros_like(w_warm))]
+        in_specs += [block3, block3]
+
+    out_shape = [jax.ShapeDtypeStruct((H, NP, Bp), dtype),
+                 jax.ShapeDtypeStruct((1, Bp), dtype)]
+    out_specs = [block3, fp_spec]
+    if return_dual:
+        out_shape.append(jax.ShapeDtypeStruct((H, NP, Bp), dtype))
+        out_specs.append(block3)
+
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((H, NP, Bp), dtype),
-            jax.ShapeDtypeStruct((1, Bp), dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((NP, tile_b), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, H, NP, tile_b), lambda i: (0, 0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((H, NP, tile_b), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_b), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
-    )(cw_pad, r_pad)
+    )(*operands)
+    w_pad, fp_pad = out[0], out[1]
+    p_pad = out[2] if return_dual else None
 
     w = jnp.transpose(w_pad[:, :N, :B], (2, 0, 1))         # [B, H, N]
     w_init = current_weights.astype(dtype)
     w, info = _finalize_packed(w, r, w_init, params, fp_pad[0, :B])
     info["num_scenarios"] = S
+    if return_dual:
+        info["dual"] = jnp.transpose(p_pad[:, :N, :B], (2, 0, 1))
     return w, info
 
 # ---------------------------------------------------------------------------

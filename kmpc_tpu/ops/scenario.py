@@ -21,7 +21,7 @@ reference: backtest.py:99-124); this module adds it TPU-first:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,15 +109,20 @@ def solve_mpc_log_utility_scenarios(
     current_weights: jax.Array,
     scenario_log_returns: jax.Array,
     params: MPCParams,
+    w_warm: Optional[jax.Array] = None,
+    p_warm: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Scenario-averaged Kelly MPC.
 
     Args:
         current_weights: [..., N]
         scenario_log_returns: [..., S, H, N]
+        w_warm / p_warm: optional warm-start primal/dual iterates
+            [..., H, N] (e.g. the previous Jacobi sweep's solution).
     Returns:
         (weights [..., H, N], info) — ONE weight path per problem,
-        optimal in expectation over its S scenarios.
+        optimal in expectation over its S scenarios; ``info['dual']``
+        carries the final dual for warm continuation.
     """
     r = jnp.exp(scenario_log_returns)                     # [..., S, H, N]
     dtype = r.dtype
@@ -156,8 +161,13 @@ def solve_mpc_log_utility_scenarios(
         g = -r / jnp.maximum(port, 1e-12)
         return jnp.mean(g, axis=-3) + params.ridge * w
 
-    w0 = jnp.broadcast_to(proj_primal(w_init)[..., None, :], target_shape).astype(dtype)
-    p0 = jnp.zeros_like(w0)
+    if w_warm is None:
+        w0 = jnp.broadcast_to(
+            proj_primal(w_init)[..., None, :], target_shape
+        ).astype(dtype)
+    else:
+        w0 = w_warm.astype(dtype)
+    p0 = jnp.zeros_like(w0) if p_warm is None else p_warm.astype(dtype)
 
     warm = params.proj_warm_iters > 0 and not params.allow_short
 
@@ -226,5 +236,6 @@ def solve_mpc_log_utility_scenarios(
         "fixed_point_residual": fp_res,
         "objective": objective,
         "num_scenarios": S,
+        "dual": p,
     }
     return w_out, info
