@@ -151,7 +151,7 @@ def ridged_objective(w, ys, cw, ridge, cost_coeff=0.001):
     )
 
 
-def solve_pdhg(cw, ys, ridge, iters, polish=False):
+def solve_pdhg(cw, ys, ridge, iters, polish=False, cycles=3):
     import jax.numpy as jnp
 
     from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
@@ -165,7 +165,9 @@ def solve_pdhg(cw, ys, ridge, iters, polish=False):
             solve_mpc_log_utility_batch_polished,
         )
 
-        w, info = solve_mpc_log_utility_batch_polished(cwj, ysj, params)
+        w, info = solve_mpc_log_utility_batch_polished(
+            cwj, ysj, params, cycles=cycles
+        )
         return np.asarray(w), np.asarray(info["residual_after"])
     w, info = solve_mpc_log_utility_batch(cwj, ysj, params)
     return np.asarray(w), np.asarray(info["converged"])
@@ -194,6 +196,9 @@ def main():
     ap.add_argument("--polish", action="store_true",
                     help="also report the POLISH=True verification path "
                          "at the highest iteration budget")
+    ap.add_argument("--polish_cycles", type=int, default=3,
+                    help="PDHG<->Newton alternation cycles for the "
+                         "verified path")
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--out", type=str, default="parity_cdf.json")
     ap.add_argument("--train_steps", type=int, default=300)
@@ -232,7 +237,8 @@ def main():
         if args.polish:
             iters = max(args.iters)
             w_pp, res_after = solve_pdhg(cw, ys, args.ridge, iters,
-                                         polish=True)
+                                         polish=True,
+                                         cycles=args.polish_cycles)
             err = np.max(np.abs(w_pp[:, 0, :] - w_or[:, 0, :]), axis=-1)
             obj_pp = ridged_objective(w_pp, ys, cw, args.ridge)
             dom = obj_pp - obj_or          # < 0: we beat the oracle
