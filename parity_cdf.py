@@ -228,9 +228,17 @@ def main():
         for iters in args.iters:
             w_pd, conv = solve_pdhg(cw, ys, args.ridge, iters)
             err = np.max(np.abs(w_pd[:, 0, :] - w_or[:, 0, :]), axis=-1)
+            # Objective gap (min-form; > 0 = worse than the oracle). This
+            # is the quantity a backtest consumes — weight error on flat
+            # faces overstates the economic difference by orders of
+            # magnitude.
+            gap = ridged_objective(w_pd, ys, cw, args.ridge) - obj_or
             fam["settings"][f"pdhg_{iters}"] = {
                 **cdf_stats(err),
                 "converged_frac": float(np.asarray(conv, float).mean()),
+                "objective_gap_median": float(np.median(gap)),
+                "objective_gap_p99": float(np.quantile(gap, 0.99)),
+                "objective_gap_max": float(gap.max()),
             }
             print(f"[{name}] pdhg@{iters}: "
                   f"{fam['settings'][f'pdhg_{iters}']}", flush=True)
