@@ -603,3 +603,76 @@ def test_backtest_system_parity_koopman_mpc(ref, envs, shared_koopman):
     our_m = calculate_metrics(our_df)
     assert abs(our_m["Sharpe Ratio"] - ref_m["Sharpe Ratio"]) < 0.15
     assert abs(our_m["Total Return"] - ref_m["Total Return"]) < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# Evaluation rollout-mode parity (reference: evaluation.py:44-134)
+# ---------------------------------------------------------------------------
+
+
+def test_evaluation_rollout_modes_value_parity(ref):
+    """The three evaluation rollout modes must produce the reference's
+    values on shared weights/ICs: no-reencode (latent-only), every-step
+    reencode, and periodic-k reencode. NaN-fill semantics on explosion
+    differ BY DESIGN (the reference NaNs the whole remaining batch when
+    ANY sample explodes, evaluation.py:68-73; ours masks per sample —
+    stricter), so parity is asserted on a stable model and the
+    divergence is pinned explicitly on an exploding one."""
+    import evaluation as ref_eval
+
+    from kmpc_tpu.ops.rollout import (
+        rollout_every_step_reencode,
+        rollout_no_reencode,
+        rollout_periodic_reencode,
+    )
+
+    torch.manual_seed(4)
+    ref_cfg = _shrink_ref_cfg(ref.config.get_config("generic"))
+    tm = ref.model.make_model(ref_cfg, OBS)
+    _perturb(tm, seed=9, scale=0.02)   # small perturbation: stays stable
+    tm.eval()
+    cfg = _our_cfg(ref_cfg)
+    model = make_model(cfg, OBS)
+    params = convert_state_dict(tm.state_dict(), cfg.MODEL.MODEL_NAME)
+
+    x0 = torch.randn(7, OBS) * 0.3
+    x0j = jnp.asarray(x0.numpy())
+    H = 12
+    with torch.no_grad():
+        _assert_close(
+            rollout_no_reencode(model, params, x0j, H),
+            ref_eval.rollout_no_reencode(tm, x0, H),
+            atol=2e-5, msg="no_reencode",
+        )
+        _assert_close(
+            rollout_every_step_reencode(model, params, x0j, H),
+            ref_eval.rollout_every_step_reencode(tm, x0, H),
+            atol=2e-5, msg="every_step",
+        )
+        for period in (3, 5):
+            _assert_close(
+                rollout_periodic_reencode(model, params, x0j, H, period),
+                ref_eval.rollout_periodic_reencode(tm, x0, H, period),
+                atol=2e-5, msg=f"periodic_{period}",
+            )
+
+    # Explosion semantics: inflate kmat so the rollout overflows. The
+    # reference NaNs every sample from the first globally-non-finite
+    # step; ours NaNs only the exploded samples (per-sample masks).
+    with torch.no_grad():
+        tm.kmat.mul_(1e4)   # f32 overflow within a few steps
+    params_x = convert_state_dict(tm.state_dict(), cfg.MODEL.MODEL_NAME)
+    with torch.no_grad():
+        ref_traj = ref_eval.rollout_no_reencode(tm, x0, H)
+    our_traj = np.asarray(rollout_no_reencode(model, params_x, x0j, H))
+    ref_np = ref_traj.numpy()
+    assert np.isnan(ref_np[-1]).all(), "premise: reference exploded"
+    assert np.isnan(our_traj[-1]).any(), "premise: ours exploded"
+    # Wherever the reference is still finite, values must agree.
+    finite = np.isfinite(ref_np)
+    np.testing.assert_allclose(
+        our_traj[finite], ref_np[finite], atol=2e-4, rtol=2e-4
+    )
+    # And our NaN set is a subset of the reference's (per-sample mask is
+    # never MORE optimistic than the batch-global fill on finite data).
+    assert np.all(np.isfinite(our_traj) | np.isnan(ref_np))
