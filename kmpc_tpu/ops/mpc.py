@@ -385,6 +385,9 @@ def solve_mpc_mean_variance_batch(
             w_new = proj_primal(v)
         w_bar = 2.0 * w_new - w
         p_new = jnp.clip(p + sigma * _apply_D(w_bar, w_init), -c, c)
+        if params.over_relax != 1.0:
+            w_new = w + params.over_relax * (w_new - w)
+            p_new = p + params.over_relax * (p_new - p)
         return (w_new, p_new, th_w), None
 
     th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)

@@ -25,10 +25,11 @@ Padded rows/lanes carry r = 0 / w = 0 and are excluded from projections
 via an additive -inf mask, so they can never enter an active set.
 
 Parameter surface and failure semantics match the XLA solver:
-``allow_short`` / ``over_relax != 1`` delegate to
-``solve_mpc_log_utility_batch`` (the kernels implement only the simplex
-projection and plain PDHG), ``proj_warm_iters=0`` runs cold full-budget
-projections, non-finite solves fall back to hold-current-weights
+``allow_short`` delegates to ``solve_mpc_log_utility_batch`` (the
+kernels implement only the simplex projection), ``over_relax`` runs
+in-kernel (rho-relaxed iterates, the XLA recursion), ``proj_warm_iters=0``
+runs cold full-budget projections, non-finite solves fall back to
+hold-current-weights
 (reference: mpc.py:113-116), and ``info`` reports the pre-restoration
 ``turnover_violation``. The kernels end with the same extra primal
 half-step as the XLA tail (ops/mpc.py:270-274): the returned iterate is
@@ -62,11 +63,11 @@ _NEG = -1e30
 def _needs_xla_fallback(params: MPCParams) -> bool:
     """Parameter combinations the fused kernels do not implement.
 
-    ``allow_short`` needs the hyperplane (not simplex) projection and
-    ``over_relax != 1`` changes the iterate recursion; rather than
-    silently solving a DIFFERENT program, the wrappers delegate these to
-    the XLA-scan solver, which supports the full parameter surface."""
-    return params.allow_short or params.over_relax != 1.0
+    ``allow_short`` needs the hyperplane (not simplex) projection;
+    rather than silently solving a DIFFERENT program, the wrappers
+    delegate it to the XLA-scan solver, which supports the full
+    parameter surface. (``over_relax`` is implemented in-kernel.)"""
+    return params.allow_short
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +149,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
     tau_to = params.max_turnover
     use_ball = tau_to > 0
     ridge = params.ridge
+    rho = params.over_relax
     # proj_warm_iters=0 means "cold full-budget projections every
     # iteration" (ops/mpc.py:224, 239-240): drop the carried thresholds
     # and run the cold Michelot budget per projection.
@@ -267,6 +269,9 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 # Keep the carry structure stable: without the turnover
                 # ball (and in cold mode) prox returns theta0 untouched.
                 th_p = th_p if th_p_new is None else th_p_new
+                if rho != 1.0:   # over-relaxation (ops/mpc.py:260-262)
+                    w_new = w + rho * (w_new - w)
+                    p_new = p + rho * (p_new - p)
                 return (w_new, p_new, th_w, th_p)
 
             return body
@@ -313,6 +318,9 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                     )
                     inner = jnp.where(l1 <= tau_to, inner, proj)
                 p_new = q - sigma * inner
+                if rho != 1.0:   # over-relaxation (ops/mpc.py:260-262)
+                    w_new = w + rho * (w_new - w)
+                    p_new = p + rho * (p_new - p)
                 return (w_new, p_new, th_w, th_p)
 
             return body
@@ -676,6 +684,7 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
     """
     c = params.cost_coeff
     gamma = params.gamma
+    rho = params.over_relax
     warm = params.proj_warm_iters >= 1
     warm_iters = params.proj_warm_iters if warm else cold_iters
     refresh = params.proj_refresh_every
@@ -756,6 +765,9 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
             w_new = jnp.maximum(vm - th_w, 0.0)
             w_bar = 2.0 * w_new - w
             p_new = jnp.clip(p + sigma * apply_D(w_bar), -c, c)
+            if rho != 1.0:   # over-relaxation, matching the XLA body
+                w_new = w + rho * (w_new - w)
+                p_new = p + rho * (p_new - p)
             return (w_new, p_new, th_w)
 
         w, p, _ = jax.lax.fori_loop(
@@ -786,8 +798,8 @@ def solve_mpc_mean_variance_pallas_packed(
     unbatched (or size-1-batched) covariance is NOT expanded to
     [B, N, N] in HBM: it rides VMEM once as a shared [NP, NP] block with
     a constant BlockSpec index map and the quadratic gradient becomes an
-    MXU matmul. Falls back to the XLA solver for allow_short /
-    over_relax, and when the per-problem covariance block cannot fit
+    MXU matmul. ``over_relax`` runs in-kernel; falls back to the XLA
+    solver for allow_short, and when the per-problem covariance block cannot fit
     VMEM at the 128-lane tile (per-problem Sigma is NP*NP*128*4 bytes:
     fine to N~128, hopeless at 500; shared Sigma is 128x smaller).
     """

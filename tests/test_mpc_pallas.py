@@ -164,14 +164,27 @@ def test_packed_allow_short_delegates_to_xla():
     assert float(jnp.min(w_ref)) < -1e-6
 
 
-def test_packed_over_relax_delegates_to_xla():
+def test_packed_over_relax_matches_xla():
+    """over_relax is implemented IN-KERNEL (rho-relaxed iterates, same
+    recursion as ops/mpc.py:260-262) — results must track the XLA
+    solver's rho path, and rho must actually change the trajectory."""
     from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
 
     cw, ys = _instance(B=4, N=8, seed=4)
-    params = MPCParams(max_iters=300, sigma_scale=2.0, over_relax=1.5)
-    w_ref, _ = solve_mpc_log_utility_batch(cw, ys, params)
-    w_pk, _ = solve_mpc_log_utility_pallas_packed(cw, ys, params)
-    np.testing.assert_allclose(np.asarray(w_pk), np.asarray(w_ref), atol=0)
+    params = MPCParams(max_iters=600, sigma_scale=2.0, over_relax=1.5)
+    w_ref, i_ref = solve_mpc_log_utility_batch(cw, ys, params)
+    w_pk, i_pk = solve_mpc_log_utility_pallas_packed(
+        cw, ys, params, tile_b=128, interpret=True
+    )
+    assert np.max(np.abs(np.asarray(w_pk) - np.asarray(w_ref))) < 5e-4
+    assert np.max(np.abs(
+        np.asarray(i_pk["objective"]) - np.asarray(i_ref["objective"])
+    )) < 1e-5
+    w_plain, _ = solve_mpc_log_utility_pallas_packed(
+        cw, ys, MPCParams(max_iters=600, sigma_scale=2.0),
+        tile_b=128, interpret=True,
+    )
+    assert not np.array_equal(np.asarray(w_pk), np.asarray(w_plain))
 
 
 def test_packed_cold_projections_match_xla():
@@ -400,7 +413,7 @@ def test_fallback_info_structure_matches_packed():
         cw, ys, base, w_warm=w0, p_warm=w0, return_dual=True
     )
     _, i_fbd = solve_mpc_log_utility_pallas_packed(
-        cw, ys, replace(base, over_relax=1.5),
+        cw, ys, replace(base, allow_short=True),
         w_warm=w0, p_warm=w0, return_dual=True,
     )
     assert struct(i_pkd) == struct(i_fbd)
@@ -462,3 +475,23 @@ def test_packed_scenarios_refresh_schedule():
         np.asarray(i_ref["objective"]), np.asarray(i_full["objective"]),
         atol=1e-5,
     )
+
+
+def test_packed_mean_variance_over_relax_matches_xla():
+    """MV over-relaxation runs in-kernel and matches the XLA rho path."""
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    rng = np.random.default_rng(17)
+    B, H, N = 5, 2, 10
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((B, N, N)) * 0.05
+    Sig = jnp.asarray(
+        np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+    )
+    p = MPCParams(max_iters=800, sigma_scale=2.0, gamma=5.0, over_relax=1.5)
+    w_x, _ = solve_mpc_mean_variance_batch(cw, mu, Sig, p)
+    w_pk, i_pk = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
+    assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_pk))) < 5e-5
+    assert bool(jnp.all(i_pk["converged"]))
