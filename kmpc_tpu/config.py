@@ -192,6 +192,10 @@ class MPCSolverConfig:
     MAX_ITERS: int = 2000        # fixed PDHG iteration count (branch-free under jit)
     TOL: float = 0.0             # 0 => always run MAX_ITERS (no data-dependent exit)
     STEP_SCALE: float = 1.0      # primal step safety factor
+    OVER_RELAX: float = 1.0      # rho in (0, 2); 1 = plain PDHG. rho=1.9
+                                 # measured ~1.86x matched-accuracy
+                                 # throughput (in-kernel; outside the
+                                 # delta=1 guarantee — see RESULTS.md)
     POLISH: bool = False         # float64 host semismooth-Newton polish after
                                  # the PDHG solve (verification path: drives the
                                  # fixed-point residual to ~1e-13 on accepted

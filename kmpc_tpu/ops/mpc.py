@@ -110,6 +110,7 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         allow_short=cfg.MPC.ALLOW_SHORT,
         max_iters=cfg.MPC.SOLVER.MAX_ITERS,
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
+        over_relax=cfg.MPC.SOLVER.OVER_RELAX,
         proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
         polish=cfg.MPC.SOLVER.POLISH,
         polish_newton=cfg.MPC.SOLVER.POLISH_NEWTON,
