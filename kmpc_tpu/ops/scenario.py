@@ -170,10 +170,11 @@ def solve_mpc_log_utility_scenarios(
     p0 = jnp.zeros_like(w0) if p_warm is None else p_warm.astype(dtype)
 
     warm = params.proj_warm_iters > 0 and not params.allow_short
+    rho = params.over_relax
 
     def body(carry, _):
-        w, p, th_w, th_p = carry
-        v = w - tau_p * (grad_g(w) + _apply_Dt(p))
+        w, p, th_w, th_p, tau_c, sig_c, alpha_c = carry
+        v = w - tau_c * (grad_g(w) + _apply_Dt(p))
         if warm:
             # Warm-started Michelot/Newton thresholds (see ops/mpc.py).
             w_new, th_w = project_simplex_warm(
@@ -182,22 +183,50 @@ def solve_mpc_log_utility_scenarios(
         else:
             w_new = proj_primal(v)
         w_bar = 2.0 * w_new - w
-        q = p + sigma * _apply_D(w_bar, w_init)
+        q = p + sig_c * _apply_D(w_bar, w_init)
         if warm and use_ball:
             inner, th_p = prox_l1_in_ball_warm(
-                q / sigma, c / sigma, tau_to, th_p, params.proj_warm_iters
+                q / sig_c, c / sig_c, tau_to, th_p, params.proj_warm_iters
             )
-            p_new = q - sigma * inner
+            p_new = q - sig_c * inner
         else:
-            p_new = prox_phi_conj(q, sigma)
-        return (w_new, p_new, th_w, th_p), None
+            p_new = prox_phi_conj(q, sig_c)
+        if params.adaptive:
+            # Residual balancing, identical to ops/mpc.py's adaptive
+            # branch (see MPCParams.adaptive).
+            pr = jnp.sqrt(jnp.sum(
+                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            dr = jnp.sqrt(jnp.sum(
+                ((p - p_new) / sig_c
+                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            big_p = pr > 1.5 * dr
+            big_d = dr > 1.5 * pr
+            shrink_f = 1.0 - alpha_c
+            tau_c = jnp.where(big_p, tau_c / shrink_f,
+                              jnp.where(big_d, tau_c * shrink_f, tau_c))
+            sig_c = jnp.where(big_p, sig_c * shrink_f,
+                              jnp.where(big_d, sig_c / shrink_f, sig_c))
+            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+        if rho != 1.0:
+            w_new = w + rho * (w_new - w)
+            p_new = p + rho * (p_new - p)
+        return (w_new, p_new, th_w, th_p, tau_c, sig_c, alpha_c), None
 
     th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)
-    (w, p, _, _), _ = jax.lax.scan(
-        body, (w0, p0, th0, th0), None, length=params.max_iters
+    (w, p, _, _, tau_f, _, _), _ = jax.lax.scan(
+        body,
+        (w0, p0, th0, th0,
+         jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
+         jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype),
+         jnp.full(jnp.shape(L), 0.5, dtype)),
+        None, length=params.max_iters,
     )
 
-    w_last = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
+    w_last = proj_primal(w - tau_f * (grad_g(w) + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
 
     # Feasibility restoration + convergence semantics identical to the

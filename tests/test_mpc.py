@@ -295,3 +295,26 @@ def test_restoration_strict_feasibility():
     assert np.max(np.abs(u).sum(-1)) <= 0.2 + 1e-5
     assert np.all(w >= -1e-7)
     assert np.allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+def test_adaptive_steps_improve_accuracy_per_iteration():
+    """Residual-balancing adaptive steps (MPCParams.adaptive) must reach
+    a strictly better objective than fixed steps at the same iteration
+    budget, measured against a long-run reference solve."""
+    rng = np.random.default_rng(23)
+    B, H, N = 24, 5, 20
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01 + 5e-4,
+                     jnp.float32)
+    ref_p = MPCParams(max_iters=20000, sigma_scale=2.0, adaptive=True)
+    _, ref_info = solve_mpc_log_utility_batch(cw, ys, ref_p)
+    ref_obj = np.asarray(ref_info["objective"])
+
+    gaps = {}
+    for adaptive in (False, True):
+        p = MPCParams(max_iters=800, sigma_scale=2.0, adaptive=adaptive)
+        _, info = solve_mpc_log_utility_batch(cw, ys, p)
+        assert bool(jnp.all(info["converged"]))
+        # max-form objective: gap = ref - ours >= 0 up to noise
+        gaps[adaptive] = float(np.median(ref_obj - np.asarray(info["objective"])))
+    assert gaps[True] < 0.3 * gaps[False], gaps

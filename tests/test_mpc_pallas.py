@@ -495,3 +495,22 @@ def test_packed_mean_variance_over_relax_matches_xla():
     w_pk, i_pk = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
     assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_pk))) < 5e-5
     assert bool(jnp.all(i_pk["converged"]))
+
+
+def test_packed_adaptive_matches_xla():
+    """Adaptive step sizes run in-kernel: per-problem tau/sigma carried
+    through the loop with residual-balancing updates — values must track
+    the XLA adaptive path closely."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    cw, ys = _instance(B=6, H=5, N=20, seed=8)
+    p = MPCParams(max_iters=800, sigma_scale=2.0, adaptive=True)
+    w_x, i_x = solve_mpc_log_utility_batch(cw, ys, p)
+    w_k, i_k = solve_mpc_log_utility_pallas_packed(
+        cw, ys, p, tile_b=128, interpret=True
+    )
+    assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_k))) < 5e-5
+    assert np.max(np.abs(
+        np.asarray(i_x["objective"]) - np.asarray(i_k["objective"])
+    )) < 1e-5
+    assert bool(jnp.all(i_k["converged"]))

@@ -236,3 +236,19 @@ def test_scenario_warm_jacobi_backtest_matches_cold():
     )
     v_warm = np.asarray(df_warm["portfolio_value"])
     assert np.max(np.abs(v_warm / v_scan - 1.0)) < 2e-2   # system tolerance
+
+
+def test_scenario_adaptive_matches_packed():
+    """Adaptive steps in the scenario solver: XLA and packed paths agree."""
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_scenarios_packed
+
+    rng = np.random.default_rng(31)
+    B, S, H, N = 5, 4, 5, 16
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((B, S, H, N)) * 0.01, jnp.float32)
+    p = MPCParams(max_iters=800, sigma_scale=2.0, adaptive=True)
+    w_x, _ = solve_mpc_log_utility_scenarios(cw, scen, p)
+    w_k, _ = solve_mpc_log_utility_scenarios_packed(
+        cw, scen, p, tile_b=128, interpret=True
+    )
+    assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_k))) < 5e-5
