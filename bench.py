@@ -51,7 +51,8 @@ def _timed(solve, make_inputs, reps):
     return min(times), last
 
 
-def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
+def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
+              adaptive=False):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +65,8 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed"):
     # every 16th (+9-23% across workloads; ~5e-5 weight-parity tail,
     # objective unchanged — see RESULTS.md).
     params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4,
-                       proj_refresh_every=16)
+                       proj_refresh_every=0 if adaptive else 16,
+                       adaptive=adaptive)
     solver = {
         "xla": solve_mpc_log_utility_batch,          # pure XLA scan
         "packed": solve_mpc_log_utility_pallas_packed,  # batch-in-lanes kernel
@@ -379,6 +381,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual CPU devices for --mode scaling")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="residual-balancing adaptive step sizes for "
+                         "--mode mpc (~6x fewer iterations at matched "
+                         "objective accuracy; see RESULTS.md)")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -390,8 +396,11 @@ def main():
         args.reps = 2
 
     if args.mode == "mpc":
-        res = bench_mpc(args.batch or 8192, args.iters, args.reps)
+        res = bench_mpc(args.batch or 8192, args.iters, args.reps,
+                        adaptive=args.adaptive)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30"
+        if args.adaptive:
+            metric += "_adaptive"
     elif args.mode == "long":
         res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20, N=30)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
