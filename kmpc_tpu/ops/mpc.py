@@ -97,8 +97,9 @@ class MPCParams:
                               # adaptation is finite and convergence is
                               # preserved. Measured ~6x fewer iterations at
                               # matched objective accuracy on the log-utility
-                              # program (see RESULTS.md). Log-utility +
-                              # scenario solvers only; the MV QP ignores it.
+                              # program (see RESULTS.md). Implemented in all
+                              # solvers (log-utility, scenario, mean-variance),
+                              # XLA and packed-kernel paths alike.
     proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
                               # iteration and the full proj_warm_iters budget
                               # every k-th iteration (packed kernel only).
@@ -416,8 +417,8 @@ def solve_mpc_mean_variance_batch(
     warm = params.proj_warm_iters > 0 and not params.allow_short
 
     def body(carry, _):
-        w, p, th_w = carry
-        v = w - tau_p * (grad_g(w) + _apply_Dt(p))
+        w, p, th_w, tau_c, sig_c, alpha_c = carry
+        v = w - tau_c * (grad_g(w) + _apply_Dt(p))
         if warm:
             w_new, th_w = project_simplex_warm(
                 v, 1.0, th_w, params.proj_warm_iters
@@ -425,18 +426,46 @@ def solve_mpc_mean_variance_batch(
         else:
             w_new = proj_primal(v)
         w_bar = 2.0 * w_new - w
-        p_new = jnp.clip(p + sigma * _apply_D(w_bar, w_init), -c, c)
+        p_new = jnp.clip(p + sig_c * _apply_D(w_bar, w_init), -c, c)
+        if params.adaptive:
+            # Residual balancing, identical to the log-utility solver's
+            # adaptive branch (see MPCParams.adaptive).
+            pr = jnp.sqrt(jnp.sum(
+                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            dr = jnp.sqrt(jnp.sum(
+                ((p - p_new) / sig_c
+                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
+                axis=(-2, -1),
+            ))[..., None, None]
+            big_p = pr > 1.5 * dr
+            big_d = dr > 1.5 * pr
+            shrink_f = 1.0 - alpha_c
+            tau_c = jnp.where(big_p, tau_c / shrink_f,
+                              jnp.where(big_d, tau_c * shrink_f, tau_c))
+            sig_c = jnp.where(big_p, sig_c * shrink_f,
+                              jnp.where(big_d, sig_c / shrink_f, sig_c))
+            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
         if params.over_relax != 1.0:
             w_new = w + params.over_relax * (w_new - w)
             p_new = p + params.over_relax * (p_new - p)
-        return (w_new, p_new, th_w), None
+        return (w_new, p_new, th_w, tau_c, sig_c, alpha_c), None
 
+    # Step-size carry shaped to the BATCH (Sigma may be unbatched, in
+    # which case L lacks the batch dims the per-problem residuals have).
+    steps_shape = w0.shape[:-2] + (1, 1)
     th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)
-    (w, p, _), _ = jax.lax.scan(
-        body, (w0, p0, th0), None, length=params.max_iters
+    (w, p, _, tau_f, _, _), _ = jax.lax.scan(
+        body,
+        (w0, p0, th0,
+         jnp.broadcast_to(tau_p, steps_shape).astype(dtype),
+         jnp.broadcast_to(sigma, steps_shape).astype(dtype),
+         jnp.full(steps_shape, 0.5, dtype)),
+        None, length=params.max_iters,
     )
 
-    w_last = proj_primal(w - tau_p * (grad_g(w) + _apply_Dt(p)))
+    w_last = proj_primal(w - tau_f * (grad_g(w) + _apply_Dt(p)))
     fp_res = jnp.max(jnp.abs(w_last - w), axis=(-2, -1))
     converged = jnp.isfinite(fp_res)
 

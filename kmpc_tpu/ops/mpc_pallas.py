@@ -820,10 +820,16 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
         )
         p0 = jnp.zeros_like(w0)
 
+        def apply_D0(x):
+            if H == 1:
+                return x
+            prev = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+            return x - prev
+
         def body(i, carry):
-            w, p, th_w = carry
-            vm = (w - tau_p * (grad_g(w) + apply_Dt(p))) + nm
-            if warm and refresh > 1:
+            w, p, th_w, tau_c, sig_c, alpha_c = carry
+            vm = (w - tau_c * (grad_g(w) + apply_Dt(p))) + nm
+            if warm and refresh > 1 and not params.adaptive:
                 th_w = _sched_threshold(
                     vm, 1.0, th_w, (i % refresh) == 0, warm_iters - 1, N
                 )
@@ -834,19 +840,39 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
                 )
             w_new = jnp.maximum(vm - th_w, 0.0)
             w_bar = 2.0 * w_new - w
-            p_new = jnp.clip(p + sigma * apply_D(w_bar), -c, c)
+            p_new = jnp.clip(p + sig_c * apply_D(w_bar), -c, c)
+            if params.adaptive:
+                # Residual balancing, same constants as the XLA body.
+                dw = w - w_new
+                dp = p - p_new
+                pr = jnp.sqrt(jnp.sum(
+                    (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
+                ))[None, None]
+                dr = jnp.sqrt(jnp.sum(
+                    (dp / sig_c - apply_D0(dw)) ** 2, axis=(0, 1)
+                ))[None, None]
+                big_p = pr > 1.5 * dr
+                big_d = dr > 1.5 * pr
+                shrink_f = 1.0 - alpha_c
+                tau_c = jnp.where(big_p, tau_c / shrink_f,
+                                  jnp.where(big_d, tau_c * shrink_f, tau_c))
+                sig_c = jnp.where(big_p, sig_c * shrink_f,
+                                  jnp.where(big_d, sig_c / shrink_f, sig_c))
+                alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
             if rho != 1.0:   # over-relaxation, matching the XLA body
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)
-            return (w_new, p_new, th_w)
+            return (w_new, p_new, th_w, tau_c, sig_c, alpha_c)
 
-        w, p, _ = jax.lax.fori_loop(
-            0, params.max_iters, body, (w0, p0, th_w0)
+        ones = jnp.ones((1, 1, TB), mu.dtype)
+        w, p, _, tau_f, _, _ = jax.lax.fori_loop(
+            0, params.max_iters, body,
+            (w0, p0, th_w0, tau_p * ones, sigma * ones, 0.5 * ones),
         )
         # One extra primal half-step so the wrapper can report the same
         # fixed-point residual / final iterate as the XLA solver.
         w_last, _ = proj_simplex(
-            w - tau_p * (grad_g(w) + apply_Dt(p)), None, cold_iters
+            w - tau_f * (grad_g(w) + apply_Dt(p)), None, cold_iters
         )
         out_ref[:] = jnp.stack([w, w_last]) * valid2[None, None]
 

@@ -514,3 +514,26 @@ def test_packed_adaptive_matches_xla():
         np.asarray(i_x["objective"]) - np.asarray(i_k["objective"])
     )) < 1e-5
     assert bool(jnp.all(i_k["converged"]))
+
+
+def test_packed_mean_variance_adaptive_matches_xla():
+    """MV adaptive steps run in-kernel on both Sigma layouts and match
+    the XLA adaptive path."""
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
+
+    rng = np.random.default_rng(12)
+    B, H, N = 6, 4, 10
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    A = rng.standard_normal((B, N, N)) * 0.05
+    Sig_b = jnp.asarray(
+        np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+    )
+    Sig_s = jnp.asarray(A[0] @ A[0].T + np.eye(N) * 1e-4, jnp.float32)
+    p = MPCParams(max_iters=1200, sigma_scale=2.0, gamma=5.0, adaptive=True)
+    for Sig in (Sig_b, Sig_s):
+        w_x, _ = solve_mpc_mean_variance_batch(cw, mu, Sig, p)
+        w_k, i_k = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
+        assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_k))) < 5e-6
+        assert bool(jnp.all(i_k["converged"]))
