@@ -184,11 +184,15 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                          keepdims=True) + ridge                    # [1,1,TB]
         sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
         tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
-        # Loop-constant reciprocals: turns two full-width divisions per
-        # PDHG iteration into multiplies (divisions are multi-cycle on
-        # the VPU; these arrays are [1, 1, TB] so the divide is ~free).
-        inv_sigma = 1.0 / sigma
-        shrink_t = c * inv_sigma
+        # q-scale dual-prox constant (see prox_phi_conj): the turnover
+        # radius and the carried threshold live on sigma-times-a scale,
+        # so the prox never materializes v = q/sigma or sigma*inner —
+        # two fewer full-width multiplies per iteration. ([1,1,TB]
+        # arithmetic here is ~free next to the full-width body ops.)
+        sig_tau = sigma * tau_to
+        # Ridge decay folded into a loop constant: w - tau_p*ridge*w is
+        # c1*w (one [1,1,TB]-broadcast multiply instead of multiply+add).
+        c1 = 1.0 - tau_p * ridge
 
         def proj_simplex(v, theta0, n_sweeps):
             vm = v + nm
@@ -218,21 +222,28 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
         def prox_phi_conj(q, theta0, n_sweeps):
             # Invariant: padded asset rows of q are exactly 0 (w, p, and
-            # their differences stay 0 there), so a is 0 on padded rows
+            # their differences stay 0 there), so aq is 0 on padded rows
             # and the l1 reduction needs no mask.
-            v = q * inv_sigma
-            sv = jnp.sign(v)
-            a = jnp.maximum(jnp.abs(v) - shrink_t, 0.0)  # == |soft(v)|
-            inner = sv * a
+            #
+            # Everything runs on q-SCALE (sigma times the a-scale of the
+            # XLA solver): aq = sigma*|soft(q/sigma)| = max(|q| - c, 0),
+            # the ball radius becomes sig_tau = sigma*tau_to, the carried
+            # threshold is sigma*theta_a, and the prox output is
+            # q - inner_q directly — the v = q/sigma and sigma*inner
+            # full-width multiplies of the a-scale form cancel exactly.
+            sv = jnp.sign(q)
+            aq = jnp.maximum(jnp.abs(q) - c, 0.0)
+            inner = sv * aq
             theta = theta0
             if use_ball:
-                l1 = jnp.sum(a, axis=-2, keepdims=True)
+                l1 = jnp.sum(aq, axis=-2, keepdims=True)
                 theta = _packed_threshold(
-                    a + nm, tau_to, n_sweeps, theta0=theta0, n_valid=float(N)
+                    aq + nm, sig_tau, n_sweeps, theta0=theta0,
+                    n_valid=float(N),
                 )
-                proj = sv * jnp.maximum(a - jnp.maximum(theta, 0.0), 0.0)
-                inner = jnp.where(l1 <= tau_to, inner, proj)
-            return q - sigma * inner, theta
+                proj = sv * jnp.maximum(aq - jnp.maximum(theta, 0.0), 0.0)
+                inner = jnp.where(l1 <= sig_tau, inner, proj)
+            return q - inner, theta
 
         if warm_start:
             w0 = w_warm_ref[:]
@@ -258,15 +269,29 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             g = r * (-1.0 / jnp.maximum(port, 1e-12))
             return jnp.mean(g, axis=0)                            # [H,NP,TB]
 
+        def primal_pre(w, p):
+            # w - tau_p*(grad g(w) + ridge*w + D'p) with tau_p folded
+            # into the portfolio reciprocal (the grad g multiply doubles
+            # as the step multiply) and the ridge decay folded into the
+            # loop constant c1 — one full-width multiply and one add
+            # fewer per iteration than materializing grad. Fixed-step
+            # bodies only; the adaptive body carries its own tau.
+            if S is None:
+                port = jnp.sum(w * r, axis=-2, keepdims=True)
+                g = r * (tau_p / jnp.maximum(port, 1e-12))
+            else:
+                port = jnp.sum(w[None] * r, axis=-2, keepdims=True)
+                g = jnp.mean(
+                    r * (tau_p / jnp.maximum(port, 1e-12)), axis=0
+                )
+            base = w if ridge == 0.0 else c1 * w
+            return base + (g - tau_p * apply_Dt(p))
+
         def make_body(n_sweeps):
             def body(_, carry):
                 w, p, th_w, th_p = carry
-                grad = smooth_grad(w)
-                if ridge != 0.0:
-                    grad = grad + ridge * w
                 w_new, th_w = proj_simplex(
-                    w - tau_p * (grad + apply_Dt(p)),
-                    th_w if warm else None, n_sweeps,
+                    primal_pre(w, p), th_w if warm else None, n_sweeps,
                 )
                 w_bar = 2.0 * w_new - w
                 p_new, th_p_new = prox_phi_conj(
@@ -303,28 +328,26 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             def body(i, carry):
                 w, p, th_w, th_p = carry
                 pred = (i % refresh) == 0
-                grad = smooth_grad(w)
-                if ridge != 0.0:
-                    grad = grad + ridge * w
-                vm = (w - tau_p * (grad + apply_Dt(p))) + nm
+                vm = primal_pre(w, p) + nm
                 th_w = _sched_threshold(vm, 1.0, th_w, pred, extra, N)
                 w_new = jnp.maximum(vm - th_w, 0.0)
                 w_bar = 2.0 * w_new - w
+                # Dual prox on q-scale (see prox_phi_conj): no v = q/sigma
+                # or sigma*inner full-width multiplies.
                 q = p + sigma * apply_D(w_bar)
-                v = q * inv_sigma
-                sv = jnp.sign(v)
-                a = jnp.maximum(jnp.abs(v) - shrink_t, 0.0)
-                inner = sv * a
+                sv = jnp.sign(q)
+                aq = jnp.maximum(jnp.abs(q) - c, 0.0)
+                inner = sv * aq
                 if use_ball:
-                    l1 = jnp.sum(a, axis=-2, keepdims=True)
+                    l1 = jnp.sum(aq, axis=-2, keepdims=True)
                     th_p = _sched_threshold(
-                        a + nm, tau_to, th_p, pred, extra, N
+                        aq + nm, sig_tau, th_p, pred, extra, N
                     )
                     proj = sv * jnp.maximum(
-                        a - jnp.maximum(th_p, 0.0), 0.0
+                        aq - jnp.maximum(th_p, 0.0), 0.0
                     )
-                    inner = jnp.where(l1 <= tau_to, inner, proj)
-                p_new = q - sigma * inner
+                    inner = jnp.where(l1 <= sig_tau, inner, proj)
+                p_new = q - inner
                 if rho != 1.0:   # over-relaxation (ops/mpc.py:260-262)
                     w_new = w + rho * (w_new - w)
                     p_new = p + rho * (p_new - p)
