@@ -310,11 +310,12 @@ def bench_scaling(batch, iters, reps, n_devices=8):
     }
 
 
-def bench_train(reps, fused_steps=50):
+def bench_train(reps, fused_steps=50, dtype="float32"):
     """finance_sparse training throughput: single-dispatch step (bounded
     by the ~30 ms relay latency here) and the fused multi-step program
     (STEPS_PER_DISPATCH; amortizes dispatch latency, identical numerics
-    — tests/test_train.py proves bit-parity)."""
+    — tests/test_train.py proves bit-parity). ``dtype='bfloat16'`` runs
+    the TPU mixed-precision mode (cfg.TRAIN.DTYPE)."""
     import jax
     import jax.numpy as jnp
 
@@ -327,6 +328,7 @@ def bench_train(reps, fused_steps=50):
     )
 
     cfg = get_config("finance_sparse")
+    cfg.TRAIN.DTYPE = dtype
     obs = len(cfg.ENV.FINANCE.TICKERS) * cfg.ENV.FINANCE.EMBEDDING_DIM  # 400
     model = make_model(cfg, obs)
     B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.SEQUENCE_LENGTH
@@ -365,6 +367,7 @@ def bench_train(reps, fused_steps=50):
         "value": 1.0 / best_fused,
         "unit_note": "train steps/s (finance_sparse: B=64, obs=400, z=1024, "
                      f"T=10; fused {fused_steps} steps/dispatch)",
+        "dtype": dtype,
         "best_fused_step_time_s": round(best_fused, 5),
         "single_dispatch_steps_per_s": round(1.0 / best_single, 1),
         "best_single_step_time_s": round(best_single, 5),
@@ -381,6 +384,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual CPU devices for --mode scaling")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype for --mode train "
+                         "(bfloat16 = TPU mixed precision)")
     ap.add_argument("--adaptive", action="store_true",
                     help="residual-balancing adaptive step sizes for "
                          "--mode mpc (~6x fewer iterations at matched "
@@ -429,8 +436,10 @@ def main():
         metric = f"spmd_partitioning_efficiency_virtual{args.devices}_cpu_mesh"
         baseline = 0.8  # >=80% scaling-efficiency north star (proxy)
     else:  # train
-        res = bench_train(args.reps)
+        res = bench_train(args.reps, dtype=args.dtype)
         metric = "finance_sparse_train_steps_per_s"
+        if args.dtype != "float32":
+            metric += f"_{args.dtype}"
         baseline = 1.0  # no reference number; report raw
 
     value = res.pop("value")

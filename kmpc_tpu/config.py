@@ -168,7 +168,11 @@ class TrainConfig:
 
     # TPU-native additions (no reference counterpart — the reference trains
     # on a single cpu/cuda/mps device, reference: train.py:1032-1079)
-    DTYPE: str = "float32"          # param/compute dtype: float32|bfloat16
+    DTYPE: str = "float32"          # model COMPUTE dtype: float32|bfloat16.
+                                    # bfloat16 = TPU mixed precision: float32
+                                    # master params, bf16 matmul inputs and
+                                    # activations, float32 MXU accumulation
+                                    # and loss reductions (models/koopman.py)
     EVAL_INTERVAL: int = 500
     LOG_INTERVAL: int = 100
     STEPS_PER_DISPATCH: int = 1     # fuse K optimizer steps into ONE compiled

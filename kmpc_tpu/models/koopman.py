@@ -69,6 +69,15 @@ class KoopmanModel:
 
     dt: float = 1.0
 
+    # TPU mixed precision (cfg.TRAIN.DTYPE; no reference counterpart —
+    # the reference trains float32 single-device). "bfloat16": params
+    # stay float32 master weights, but every encoder/decoder/K matmul
+    # casts its inputs to bfloat16 and accumulates float32 on the MXU,
+    # and activations/latents ride bfloat16; loss reductions are always
+    # performed in float32. The continuous-time ODE path always
+    # integrates in float32 (dopri5 tolerances are meaningless at bf16).
+    compute_dtype: str = "float32"  # float32|bfloat16
+
     # ----------------------------------------------------------------- init
 
     def init(self, key: jax.Array) -> Dict:
@@ -108,6 +117,29 @@ class KoopmanModel:
 
     # ------------------------------------------------------------- core ops
 
+    @property
+    def _cd(self):
+        """jnp compute dtype, or None for plain float32 execution."""
+        if self.compute_dtype in ("float32", None):
+            return None
+        if self.compute_dtype == "bfloat16":
+            return jnp.bfloat16
+        raise ValueError(
+            f"Unknown compute_dtype '{self.compute_dtype}' "
+            "(float32|bfloat16)"
+        )
+
+    def _kmat_mul(self, params: Dict, z: jax.Array) -> jax.Array:
+        """z @ K in the compute dtype with float32 MXU accumulation."""
+        cd = self._cd
+        if cd is not None:
+            out = jnp.matmul(
+                z.astype(cd), params["kmat"].astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(cd)
+        return jnp.matmul(z, params["kmat"], preferred_element_type=z.dtype)
+
     @staticmethod
     def _safe_norm(v: jax.Array, axis: int = -1) -> jax.Array:
         """L2 norm with a ZERO subgradient at v = 0 (torch's convention).
@@ -124,11 +156,16 @@ class KoopmanModel:
         return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
 
     def _apply_norm(self, z: jax.Array) -> jax.Array:
-        """Latent normalization (reference: model.py:740-754)."""
+        """Latent normalization (reference: model.py:740-754). The norm
+        itself is computed in float32 (bf16 sums of squares overflow
+        early); the output keeps z's dtype."""
         if self.norm_fn == "id":
             return z
         if self.norm_fn == "ball":
-            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+            n = jnp.linalg.norm(
+                z.astype(jnp.float32), axis=-1, keepdims=True
+            )
+            return z / n.astype(z.dtype)
         raise ValueError(f"Unknown norm function '{self.norm_fn}'")
 
     def encode(self, params: Dict, x: jax.Array) -> jax.Array:
@@ -141,11 +178,13 @@ class KoopmanModel:
                 L=self.lista_L,
                 activation=self.encoder_activation,
                 last_relu=self.encoder_last_relu,
+                compute_dtype=self._cd,
             )
         z = mlp_apply(
             params["encoder"], x,
             activation=self.encoder_activation,
             last_relu=self.encoder_last_relu,
+            compute_dtype=self._cd,
         )
         return self._apply_norm(z)
 
@@ -157,11 +196,19 @@ class KoopmanModel:
             norms = jnp.maximum(
                 jnp.linalg.norm(wd, axis=1, keepdims=True), 1e-4
             )
+            cd = self._cd
+            if cd is not None:
+                out = jnp.matmul(
+                    z.astype(cd), (wd / norms).astype(cd),
+                    preferred_element_type=jnp.float32,
+                )
+                return out.astype(cd)
             return jnp.matmul(z, wd / norms, preferred_element_type=z.dtype)
         return mlp_apply(
             params["decoder"], z,
             activation=self.decoder_activation,
             last_relu=False,
+            compute_dtype=self._cd,
         )
 
     def kmatrix(self, params: Dict) -> jax.Array:
@@ -171,7 +218,7 @@ class KoopmanModel:
     def step_latent(self, params: Dict, z: jax.Array) -> jax.Array:
         """z @ K, with norm_fn for GenericKM (reference: model.py:787-797;
         LISTAKM uses the plain base step, reference: model.py:311-321)."""
-        nz = jnp.matmul(z, params["kmat"], preferred_element_type=z.dtype)
+        nz = self._kmat_mul(params, z)
         if self.model_name == "LISTAKM":
             return nz
         return self._apply_norm(nz)
@@ -191,7 +238,8 @@ class KoopmanModel:
         y = self.encode(params, x)
         ny = self.encode(params, nx)
         return self._safe_norm(
-            jnp.matmul(y, params["kmat"], preferred_element_type=y.dtype) - ny
+            self._kmat_mul(params, y).astype(jnp.float32)
+            - ny.astype(jnp.float32)
         )
 
     def reconstruction(self, params: Dict, x: jax.Array) -> jax.Array:
@@ -213,29 +261,26 @@ class KoopmanModel:
         The eigenvalue metric is intentionally absent here (host-side via
         :func:`spectral_metrics`).
         """
-        kmat = params["kmat"]
         zx = self.encode(params, x)
         znx = self.encode(params, nx)
+        kzx = self._kmat_mul(params, zx)
+        # Loss reductions always run in float32 (no-op casts when the
+        # compute dtype is float32).
+        f32 = lambda a: a.astype(jnp.float32)  # noqa: E731
 
-        prediction = self.decode(
-            params, jnp.matmul(zx, kmat, preferred_element_type=zx.dtype)
-        )
-        prediction_loss = jnp.mean(self._safe_norm(prediction - nx))
+        prediction = self.decode(params, kzx)
+        prediction_loss = jnp.mean(self._safe_norm(f32(prediction) - nx))
 
-        residual_loss = jnp.mean(
-            self._safe_norm(
-                jnp.matmul(zx, kmat, preferred_element_type=zx.dtype) - znx
-            )
-        )
+        residual_loss = jnp.mean(self._safe_norm(f32(kzx) - f32(znx)))
 
         reconst_loss = jnp.mean(
-            self._safe_norm(x - self.decode(params, zx))
-        ) + jnp.mean(self._safe_norm(nx - self.decode(params, znx)))
+            self._safe_norm(x - f32(self.decode(params, zx)))
+        ) + jnp.mean(self._safe_norm(nx - f32(self.decode(params, znx))))
 
         alpha = self.lista_alpha if self.model_name == "LISTAKM" else 1.0
         sparsity_loss = 0.5 * alpha * (
-            jnp.mean(jnp.sum(jnp.abs(zx), axis=-1))
-            + jnp.mean(jnp.sum(jnp.abs(znx), axis=-1))
+            jnp.mean(jnp.sum(jnp.abs(f32(zx)), axis=-1))
+            + jnp.mean(jnp.sum(jnp.abs(f32(znx)), axis=-1))
         )
 
         num_nonzero = jnp.mean(jnp.sum((zx != 0).astype(jnp.float32), axis=-1))
@@ -263,10 +308,11 @@ class KoopmanModel:
         """z_{t+k} = z_t K^k via lax.scan; returns [batch, num_steps+1, z]
         (reference: model.py:527-556 — note: raw matmul, no norm_fn,
         exactly like the reference training rollout)."""
-        kmat = params["kmat"]
+        if self._cd is not None:
+            z0 = z0.astype(self._cd)  # stable scan-carry dtype
 
         def body(z, _):
-            nz = jnp.matmul(z, kmat, preferred_element_type=z.dtype)
+            nz = self._kmat_mul(params, z)
             return nz, nz
 
         _, traj = jax.lax.scan(body, z0, None, length=num_steps)
@@ -299,6 +345,12 @@ class KoopmanModel:
 
         x_tilde = self.decode(params, z_seq)               # [B, T+1, obs]
         x_hat_seq = self.decode(params, z_hat_seq)
+
+        # Loss reductions always run in float32 (no-op casts when the
+        # compute dtype is float32).
+        f32 = jnp.float32
+        z_seq, z_hat_seq = z_seq.astype(f32), z_hat_seq.astype(f32)
+        x_tilde, x_hat_seq = x_tilde.astype(f32), x_hat_seq.astype(f32)
 
         alignment_loss = jnp.mean(
             jnp.sum(
@@ -352,7 +404,10 @@ class KoopmanModel:
         """Integrate latent dynamics over t_span; [num_times, batch, z]
         (reference: model.py:351-422 — torchdiffeq dopri5 with manual RK4
         fallback; here jax.experimental.ode.odeint (dopri5) or a fixed-step
-        RK4 scan)."""
+        RK4 scan). Always integrates in float32 regardless of the
+        compute dtype — adaptive-step tolerances are meaningless at
+        bf16 resolution."""
+        z0 = z0.astype(jnp.float32)
         if method == "dopri5":
             from jax.experimental.ode import odeint
 
@@ -443,4 +498,5 @@ def make_model(cfg: Config, observation_size: int) -> KoopmanModel:
         reconst_coeff=cfg.MODEL.RECONST_COEFF,
         pred_coeff=cfg.MODEL.PRED_COEFF,
         sparsity_coeff=cfg.MODEL.SPARSITY_COEFF,
+        compute_dtype=cfg.TRAIN.DTYPE,
     )

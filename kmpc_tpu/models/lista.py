@@ -64,19 +64,42 @@ def lista_apply(
     L: float,
     activation: str = "relu",
     last_relu: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Forward pass [..., xdim] -> sparse codes [..., zdim]
-    (reference: model.py:190-209)."""
+    (reference: model.py:190-209).
+
+    ``compute_dtype`` = TPU mixed precision (see mlp.mlp_apply): the
+    [z, z] refinement matmuls run in that dtype with float32 MXU
+    accumulation; the loop carry stays in compute dtype."""
     if "We" in params:
-        c = jnp.matmul(x, params["We"], preferred_element_type=x.dtype)
+        if compute_dtype is not None:
+            c = jnp.matmul(
+                x.astype(compute_dtype),
+                params["We"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            c = jnp.matmul(x, params["We"], preferred_element_type=x.dtype)
     else:
-        c = mlp_apply(params["We_mlp"], x, activation=activation, last_relu=last_relu)
+        c = mlp_apply(params["We_mlp"], x, activation=activation,
+                      last_relu=last_relu, compute_dtype=compute_dtype)
 
     threshold = alpha / L
+    if compute_dtype is not None:
+        c = c.astype(compute_dtype)
+        S = params["S"].astype(compute_dtype)
+    else:
+        S = params["S"]
     z0 = shrink(c, threshold)
-    S = params["S"]
 
     def body(_, z):
-        return shrink(jnp.matmul(z, S, preferred_element_type=z.dtype) + c, threshold)
+        acc = jnp.matmul(
+            z, S,
+            preferred_element_type=(
+                jnp.float32 if compute_dtype is not None else z.dtype
+            ),
+        )
+        return shrink((acc + c).astype(z.dtype), threshold)
 
     return jax.lax.fori_loop(0, num_loops, body, z0)

@@ -62,15 +62,33 @@ def mlp_apply(
     x: jax.Array,
     activation: str = "relu",
     last_relu: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
     """Forward pass over [..., input_size] -> [..., target_size]
-    (reference: model.py:108-117)."""
+    (reference: model.py:108-117).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) is the TPU mixed-precision
+    knob: inputs/weights are cast to it at each matmul so the MXU runs
+    native-bf16 multiplies with float32 accumulation
+    (``preferred_element_type``); activations stay in compute dtype.
+    Params are NOT cast in storage — the float32 master weights live in
+    the optimizer as usual. None = run in the input dtype (float32).
+    """
     act = get_activation(activation)
     n = len(params)
     for i, layer in enumerate(params):
-        x = jnp.matmul(x, layer["w"], preferred_element_type=x.dtype)
+        if compute_dtype is not None:
+            x = jnp.matmul(
+                x.astype(compute_dtype),
+                layer["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            x = jnp.matmul(x, layer["w"], preferred_element_type=x.dtype)
         if "b" in layer:
             x = x + layer["b"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         if i < n - 1:
             x = act(x)
     if last_relu:

@@ -452,3 +452,73 @@ def test_lista_loss_gradients_finite_with_dead_codes():
     assert np.isfinite(float(loss))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert bool(jnp.all(jnp.isfinite(leaf))), "NaN gradient"
+
+
+# ---------------------------------------------------------------------------
+# Mixed precision (cfg.TRAIN.DTYPE = "bfloat16")
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("preset,obs", [("generic", 6), ("lista", 6)])
+def test_bfloat16_compute_dtype(preset, obs):
+    """bf16 mixed precision: activations/latents ride bfloat16, losses
+    reduce in float32, values stay within bf16 resolution of the f32
+    model, and gradients (w.r.t. the float32 master params) are finite
+    float32."""
+    cfg = get_config(preset)
+    cfg.MODEL.TARGET_SIZE = 16
+    model32 = make_model(cfg, obs)
+    cfg.TRAIN.DTYPE = "bfloat16"
+    model16 = make_model(cfg, obs)
+    assert model16.compute_dtype == "bfloat16"
+
+    params = model32.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, obs), jnp.float32)
+
+    z16 = model16.encode(params, x)
+    assert z16.dtype == jnp.bfloat16
+    assert model16.decode(params, z16).dtype == jnp.bfloat16
+    assert model16.step_env(params, x).shape == x.shape
+
+    l32, m32 = model32.loss_sequence(params, x)
+    l16, m16 = model16.loss_sequence(params, x)
+    assert l16.dtype == jnp.float32  # reductions stay f32
+    assert np.isfinite(float(l16))
+    # bf16 has ~3 decimal digits; the losses must agree to that scale.
+    assert abs(float(l16) - float(l32)) <= 0.05 * max(abs(float(l32)), 1.0)
+
+    grads = jax.grad(lambda p: model16.loss_sequence(p, x)[0])(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert leaf.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_bfloat16_single_step_loss_and_ode_path():
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = 8
+    cfg.TRAIN.DTYPE = "bfloat16"
+    model = make_model(cfg, 4)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4), jnp.float32)
+    nx = x + 0.01
+    loss, metrics = model.loss(params, x, nx)
+    assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+    # The continuous-time path INTEGRATES in float32 regardless (the
+    # final decode still rides the compute dtype, like every decode).
+    z0 = model.encode(params, x)
+    t_span = jnp.arange(4, dtype=jnp.float32) * 0.1
+    z_traj = model.integrate_latent_ode(params, z0, t_span)
+    assert z_traj.dtype == jnp.float32
+    traj = model.rollout_sequence_ode(params, x, num_steps=3, dt=0.1)
+    assert traj.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(traj.astype(jnp.float32))))
+
+
+def test_unknown_compute_dtype_raises():
+    model = KoopmanModel(
+        model_name="GenericKM", observation_size=4, target_size=8,
+        compute_dtype="float16",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="compute_dtype"):
+        model.encode(params, jnp.ones((2, 4)))

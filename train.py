@@ -47,6 +47,11 @@ def main():
     parser.add_argument("--steps_per_dispatch", type=int, default=None,
                         help="fuse K optimizer steps per device dispatch "
                              "(identical numerics; amortizes dispatch latency)")
+    parser.add_argument("--dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (bfloat16 = TPU mixed "
+                             "precision: f32 master params, bf16 matmuls/"
+                             "activations, f32 accumulation)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -70,6 +75,8 @@ def main():
     cfg.SEED = args.seed
     if args.steps_per_dispatch is not None:
         cfg.TRAIN.STEPS_PER_DISPATCH = args.steps_per_dispatch
+    if args.dtype is not None:
+        cfg.TRAIN.DTYPE = args.dtype
     if args.lr is not None:
         cfg.TRAIN.LR = args.lr
     if args.target_size is not None:
