@@ -111,6 +111,29 @@ class MPCParams:
                               # uses the full budget).
 
 
+def _balance_steps(pr, dr, tau_c, sig_c, alpha_c):
+    """Residual-balancing step adaptation (Goldstein-style), shared by
+    EVERY adaptive solver body — the three XLA solvers (log-utility,
+    scenario Kelly, mean-variance) and both Pallas kernels — so the
+    load-bearing constants (1.5x imbalance ratio, alpha decay 0.95) stay
+    in lock-step across the paths whose value-parity the kernels promise.
+
+    When the primal residual dominates the dual by >1.5x, grow tau and
+    shrink sigma by the factor (1 - alpha) (and vice versa); alpha decays
+    geometrically on every adaptation so the total adaptation is finite
+    and the Condat-Vu convergence guarantee is preserved.
+    """
+    big_p = pr > 1.5 * dr
+    big_d = dr > 1.5 * pr
+    shrink_f = 1.0 - alpha_c
+    tau_c = jnp.where(big_p, tau_c / shrink_f,
+                      jnp.where(big_d, tau_c * shrink_f, tau_c))
+    sig_c = jnp.where(big_p, sig_c * shrink_f,
+                      jnp.where(big_d, sig_c / shrink_f, sig_c))
+    alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+    return tau_c, sig_c, alpha_c
+
+
 def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
     """Build MPCParams from a Config's MPC section (kwargs override)."""
     base = dict(
@@ -294,14 +317,9 @@ def solve_mpc_log_utility_batch(
                  - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
                 axis=(-2, -1),
             ))[..., None, None]
-            big_p = pr > 1.5 * dr
-            big_d = dr > 1.5 * pr
-            shrink = 1.0 - alpha_c
-            tau_c = jnp.where(big_p, tau_c / shrink,
-                              jnp.where(big_d, tau_c * shrink, tau_c))
-            sig_c = jnp.where(big_p, sig_c * shrink,
-                              jnp.where(big_d, sig_c / shrink, sig_c))
-            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+            tau_c, sig_c, alpha_c = _balance_steps(
+                pr, dr, tau_c, sig_c, alpha_c
+            )
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
             p_new = p + rho * (p_new - p)
@@ -439,14 +457,9 @@ def solve_mpc_mean_variance_batch(
                  - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
                 axis=(-2, -1),
             ))[..., None, None]
-            big_p = pr > 1.5 * dr
-            big_d = dr > 1.5 * pr
-            shrink_f = 1.0 - alpha_c
-            tau_c = jnp.where(big_p, tau_c / shrink_f,
-                              jnp.where(big_d, tau_c * shrink_f, tau_c))
-            sig_c = jnp.where(big_p, sig_c * shrink_f,
-                              jnp.where(big_d, sig_c / shrink_f, sig_c))
-            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+            tau_c, sig_c, alpha_c = _balance_steps(
+                pr, dr, tau_c, sig_c, alpha_c
+            )
         if params.over_relax != 1.0:
             w_new = w + params.over_relax * (w_new - w)
             p_new = p + params.over_relax * (p_new - p)

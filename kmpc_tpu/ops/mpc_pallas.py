@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kmpc_tpu.ops.mpc import (
     MPCParams,
+    _balance_steps,
     _log_utility_objective,
     restore_turnover_feasibility,
     solve_mpc_log_utility_batch,
@@ -397,14 +398,9 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             dr = jnp.sqrt(jnp.sum(
                 (dp * inv_s - apply_D0(dw)) ** 2, axis=(0, 1)
             ))[None, None]
-            big_p = pr > 1.5 * dr
-            big_d = dr > 1.5 * pr
-            shrinkf = 1.0 - alpha_c
-            tau_c = jnp.where(big_p, tau_c / shrinkf,
-                              jnp.where(big_d, tau_c * shrinkf, tau_c))
-            sig_c = jnp.where(big_p, sig_c * shrinkf,
-                              jnp.where(big_d, sig_c / shrinkf, sig_c))
-            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+            tau_c, sig_c, alpha_c = _balance_steps(
+                pr, dr, tau_c, sig_c, alpha_c
+            )
             if rho != 1.0:
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)
@@ -525,8 +521,24 @@ def _default_tile_b_packed(H: int, NP: int, S: Optional[int] = None,
     # fine; tb=256's 20.6 MB failed).
     budget = 12 * 1024 * 1024
     # +1: the extra-half-step iterate (w_last) live at the kernel tail.
+    # Callers must declare the adaptive body's extra live temporaries
+    # (dw/dp + the two residual expressions) through ``extra_blocks`` —
+    # see _adaptive_extra_blocks.
     need = ((S or 1) + 8 + extra_blocks) * H * NP * tb * 4
     return tb if need <= budget else None
+
+
+def _adaptive_extra_blocks(params: MPCParams) -> int:
+    """Extra live [H, NP, tb] VMEM blocks of the adaptive body.
+
+    body_adaptive keeps dw, dp, and the two residual expressions live
+    past the prox (the fixed-step bodies free their temporaries before
+    the dual update), so an adaptive solve that passes the base budget
+    can still overflow VMEM at compile time. Declaring +3 blocks makes
+    borderline working sets (e.g. adaptive at N=500/H=5) take the
+    graceful XLA fallback instead of an opaque remote-compile failure.
+    """
+    return 3 if params.adaptive else 0
 
 
 def _match_packed_info(info, return_dual: bool = False,
@@ -577,7 +589,9 @@ def solve_mpc_log_utility_pallas_packed(
     if tile_b is None:
         tile_b = _default_tile_b_packed(
             H, NP,
-            extra_blocks=(2 if warm_start else 0) + (1 if return_dual else 0),
+            extra_blocks=(2 if warm_start else 0)
+            + (1 if return_dual else 0)
+            + _adaptive_extra_blocks(params),
         )
     if _needs_xla_fallback(params) or tile_b is None:
         # Unsupported parameter surface or a working set that cannot fit
@@ -680,7 +694,9 @@ def solve_mpc_log_utility_scenarios_packed(
     if tile_b is None:
         tile_b = _default_tile_b_packed(
             H, NP, S=S,
-            extra_blocks=(2 if warm_start else 0) + (1 if return_dual else 0),
+            extra_blocks=(2 if warm_start else 0)
+            + (1 if return_dual else 0)
+            + _adaptive_extra_blocks(params),
         )
     if _needs_xla_fallback(params) or tile_b is None:
         from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
@@ -874,14 +890,9 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
                 dr = jnp.sqrt(jnp.sum(
                     (dp / sig_c - apply_D0(dw)) ** 2, axis=(0, 1)
                 ))[None, None]
-                big_p = pr > 1.5 * dr
-                big_d = dr > 1.5 * pr
-                shrink_f = 1.0 - alpha_c
-                tau_c = jnp.where(big_p, tau_c / shrink_f,
-                                  jnp.where(big_d, tau_c * shrink_f, tau_c))
-                sig_c = jnp.where(big_p, sig_c * shrink_f,
-                                  jnp.where(big_d, sig_c / shrink_f, sig_c))
-                alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+                tau_c, sig_c, alpha_c = _balance_steps(
+                    pr, dr, tau_c, sig_c, alpha_c
+                )
             if rho != 1.0:   # over-relaxation, matching the XLA body
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)
@@ -933,7 +944,9 @@ def solve_mpc_mean_variance_pallas_packed(
     if tile_b is None:
         # Sigma block + ~6 live [H, NP, TB] iterate arrays within ~8 MB.
         sig_bytes = NP * NP * 4 if shared_sigma else NP * NP * 128 * 4
-        need = sig_bytes + 6 * H * NP * 128 * 4
+        need = sig_bytes + (
+            6 + _adaptive_extra_blocks(params)
+        ) * H * NP * 128 * 4
         tile_b = 128 if need <= 8 * 1024 * 1024 else None
     if _needs_xla_fallback(params) or tile_b is None:
         return solve_mpc_mean_variance_batch(

@@ -65,6 +65,7 @@ from kmpc_tpu.ops.mpc import (
     _apply_D,
     _apply_Dt,
     _log_utility_objective,
+    restore_turnover_feasibility,
 )
 from kmpc_tpu.ops.projections import _simplex_threshold
 
@@ -138,8 +139,12 @@ def polish_log_utility(
         w, p: primal/dual iterates [..., H, N] from the PDHG solver.
         current_weights: [..., N]; predicted_log_returns: [..., H, N].
     Returns:
-        (w_polished, info) — per-problem ``residual_before/after`` and an
-        ``accepted`` mask; rejected problems keep their input w.
+        (w_polished, info) — per-problem ``residual_before/after``, an
+        ``accepted`` mask, and ``info['dual']``: the polished dual
+        iterate (so callers can thread the Newton rounds' dual progress
+        into a warm-started PDHG continuation instead of restarting from
+        the stale pre-polish dual). Rejected problems keep their input
+        w and p exactly.
     """
     H, N = predicted_log_returns.shape[-2:]
     m = H * N
@@ -266,6 +271,7 @@ def polish_log_utility(
     vw = w_cur - tau * (grad + _apply_Dt(p_cur))
     w_proj, _ = _proj_simplex_with_jac(vw)
     w_out = jnp.where(accepted_any[..., None, None], w_proj, w)
+    p_out = jnp.where(accepted_any[..., None, None], p_cur, p)
 
     Rw_f, Rp_f, _ = residual_and_masks(w_cur, p_cur)
     res_f = jnp.sqrt(
@@ -275,6 +281,7 @@ def polish_log_utility(
         "residual_before": res0,
         "residual_after": res_f,
         "accepted": accepted_any,
+        "dual": p_out,
     }
     return w_out, info
 
@@ -304,11 +311,16 @@ def solve_mpc_log_utility_batch_polished(
     polished solutions strictly dominate scipy trust-constr's objective
     on every instance tried).
 
-    Returns float64 weights and the PDHG info dict augmented with the
-    final polish's ``residual_before/after`` and ``accepted`` entries.
-    Not a hot-path function: use it for parity studies, oracle
-    comparisons, and anywhere machine-precision KKT points matter more
-    than throughput.
+    Returns float64 weights (turnover-restored when
+    ``params.restore_feasibility``, like every solver in this package)
+    and an info dict whose ``objective``, ``converged``,
+    ``turnover_violation``, and ``dual`` are recomputed from the
+    POLISHED iterate, augmented with the final polish's
+    ``residual_before/after``/``accepted``. (``fixed_point_residual``
+    remains the initial float32 PDHG solve's diagnostic; the verified
+    path's convergence measure is ``residual_after``.) Not a hot-path
+    function: use it for parity studies, oracle comparisons, and
+    anywhere machine-precision KKT points matter more than throughput.
     """
     import numpy as np
 
@@ -339,17 +351,50 @@ def solve_mpc_log_utility_batch_polished(
                 w_cur, p_cur, cw64, y64, params,
                 num_newton=params.polish_newton,
             )
+            # Thread the Newton rounds' dual progress into the
+            # continuation (restarting from the pre-polish dual would
+            # re-derive work each PDHG continuation already paid for).
+            p_cur = pol_info["dual"]
             if cycle + 1 < cycles:
                 w_cur, cinfo = solve_mpc_log_utility_batch(
                     cw64, y64, cont, w_warm=w_cur, p_warm=p_cur
                 )
                 p_cur = cinfo["dual"]
         w_pol = w_cur
+
+        # Recompute the diagnostics the caller consumes from the
+        # POLISHED iterate — the PDHG info described the discarded f32
+        # iterate — and re-apply the exact turnover restoration so the
+        # ``restore_feasibility`` contract ("outputs strictly feasible")
+        # holds for the returned weights too (the polish tail projects
+        # to the simplex only).
+        tau_to = params.max_turnover
+        if tau_to > 0:
+            u_pre = w_pol - jnp.concatenate(
+                [cw64[..., None, :], w_pol[..., :-1, :]], axis=-2
+            )
+            to_viol = jnp.max(
+                jnp.maximum(jnp.sum(jnp.abs(u_pre), axis=-1) - tau_to, 0.0),
+                axis=-1,
+            )
+            if params.restore_feasibility:
+                w_pol = restore_turnover_feasibility(w_pol, cw64, tau_to)
+        else:
+            to_viol = jnp.zeros(w_pol.shape[:-2], w_pol.dtype)
+        finite = jnp.all(jnp.isfinite(w_pol), axis=(-2, -1)) & jnp.isfinite(
+            pol_info["residual_after"]
+        )
+        if tau_to > 0 and params.restore_feasibility:
+            converged = finite
+        else:
+            converged = finite & (to_viol <= params.feas_tol)
         objective = _log_utility_objective(
             w_pol, jnp.exp(y64), cw64, params.cost_coeff
         )
         w_pol.block_until_ready()
     out_info = dict(info)
-    out_info.update(pol_info)
+    out_info.update(pol_info)     # incl. the polished dual
     out_info["objective"] = objective
+    out_info["converged"] = converged
+    out_info["turnover_violation"] = to_viol
     return w_pol, out_info

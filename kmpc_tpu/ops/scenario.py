@@ -31,6 +31,7 @@ from kmpc_tpu.ops.mpc import (
     MPCParams,
     _apply_D,
     _apply_Dt,
+    _balance_steps,
     restore_turnover_feasibility,
 )
 from kmpc_tpu.ops.projections import (
@@ -203,14 +204,9 @@ def solve_mpc_log_utility_scenarios(
                  - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
                 axis=(-2, -1),
             ))[..., None, None]
-            big_p = pr > 1.5 * dr
-            big_d = dr > 1.5 * pr
-            shrink_f = 1.0 - alpha_c
-            tau_c = jnp.where(big_p, tau_c / shrink_f,
-                              jnp.where(big_d, tau_c * shrink_f, tau_c))
-            sig_c = jnp.where(big_p, sig_c * shrink_f,
-                              jnp.where(big_d, sig_c / shrink_f, sig_c))
-            alpha_c = jnp.where(big_p | big_d, alpha_c * 0.95, alpha_c)
+            tau_c, sig_c, alpha_c = _balance_steps(
+                pr, dr, tau_c, sig_c, alpha_c
+            )
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
             p_new = p + rho * (p_new - p)

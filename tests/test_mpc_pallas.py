@@ -235,6 +235,19 @@ def test_packed_oversize_working_set_delegates():
     assert _default_tile_b_packed(5, 504, extra_blocks=3) is None
     assert _default_tile_b_packed(5, 32, extra_blocks=3) == 128
 
+    # The adaptive body keeps dw/dp + two residual expressions live: its
+    # +3 declared blocks push the borderline N=500/H=5 working set over
+    # budget so it takes the graceful XLA fallback instead of an opaque
+    # remote-compile VMEM overflow.
+    from kmpc_tpu.ops.mpc import MPCParams as _P
+    from kmpc_tpu.ops.mpc_pallas import _adaptive_extra_blocks
+
+    assert _adaptive_extra_blocks(_P(adaptive=False)) == 0
+    assert _adaptive_extra_blocks(_P(adaptive=True)) == 3
+    assert _default_tile_b_packed(
+        5, 504, extra_blocks=_adaptive_extra_blocks(_P(adaptive=True))
+    ) is None
+
     # Tiny shapes but forced through the scenario wrapper's fallback
     # branch via an oversize S*H*NP product is too slow for CI; instead
     # check the wrapper accepts the delegation path on allow_short.

@@ -169,3 +169,41 @@ def test_polish_wiring_config_to_solver():
     assert "polish_residual_after" not in stats0
     assert not np.array_equal(w1, w0), \
         "POLISH=True produced bit-identical output to POLISH=False"
+
+
+def test_polished_info_and_feasibility_describe_polished_iterate():
+    """The verified path's returned info must describe the POLISHED
+    weights, not the discarded f32 PDHG iterate: with
+    restore_feasibility=True the output satisfies the turnover cap
+    exactly, 'converged'/'turnover_violation' are recomputed from the
+    polished iterate, and the polished dual is surfaced for
+    warm-started continuation."""
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.mpc_polish import solve_mpc_log_utility_batch_polished
+
+    rng = np.random.default_rng(3)
+    B, H, N = 6, 3, 6
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01 + 1e-3,
+                     jnp.float32)
+    params = MPCParams(max_iters=3000, sigma_scale=2.0, polish=True,
+                       restore_feasibility=True)
+    w, info = solve_mpc_log_utility_batch_polished(cw, ys, params)
+
+    # Exact feasibility of the RETURNED weights (the contract).
+    w_np = np.asarray(w)
+    u = w_np - np.concatenate(
+        [np.asarray(cw, np.float64)[:, None, :], w_np[:, :-1, :]], axis=1
+    )
+    assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 1e-9)
+    np.testing.assert_allclose(w_np.sum(-1), 1.0, atol=1e-9)
+
+    # Recomputed diagnostics: converged reflects the polished iterate's
+    # finiteness, turnover_violation is the polished iterate's
+    # pre-restoration slack (float64, not the f32 PDHG value).
+    assert info["converged"].dtype == bool and bool(np.all(info["converged"]))
+    assert info["turnover_violation"].dtype == jnp.float64
+    assert info["dual"].shape == w_np.shape
+    assert info["dual"].dtype == jnp.float64
