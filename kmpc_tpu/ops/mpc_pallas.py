@@ -87,6 +87,31 @@ def _needs_xla_fallback(params: MPCParams) -> bool:
 # lost everywhere — retired; measurements in RESULTS.md.
 
 
+def _sum_assets(x):
+    """Sum a [..., H, NP, TB] block over the asset (sublane) axis.
+
+    Small NP: a plain cross-sublane VPU reduce. Large NP (>= 256): the
+    VPU reduce is a ~NP/8-vreg sequential add chain on the solver's
+    critical path while the MXU sits idle, so the reduction runs as an
+    [8, NP] ones-matmul instead (row 0 of the [8, TB] product is the
+    sum; the other 7 rows are free — the MXU is otherwise unused in the
+    log-utility kernel). Leading axes beyond H are unrolled statically
+    (scenario blocks). Measured on v5e at N=500/H=5: 15.0k -> 18.2k
+    solves/s (+21%) from the threshold sweeps alone, 18.9k (+26%) with
+    the portfolio and l1 sums offloaded too.
+    """
+    NP = x.shape[-2]
+    if NP < 256:
+        return jnp.sum(x, axis=-2, keepdims=True)
+    ones = jnp.ones((8, NP), x.dtype)
+    if x.ndim == 3:
+        return jnp.stack([
+            jnp.dot(ones, x[h], preferred_element_type=jnp.float32)[:1]
+            for h in range(x.shape[0])
+        ])
+    return jnp.stack([_sum_assets(x[s]) for s in range(x.shape[0])])
+
+
 def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
     """Michelot/Newton simplex threshold over the ASSET axis (axis=-2).
 
@@ -99,14 +124,14 @@ def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
     """
     if theta0 is None:
         v0 = jnp.where(vm > 0.5 * _NEG, vm, 0.0)
-        theta = (jnp.sum(v0, axis=-2, keepdims=True) - radius) / n_valid
+        theta = (_sum_assets(v0) - radius) / n_valid
     else:
         theta = theta0
 
     def body(_, theta):
         active = vm > theta
-        count = jnp.sum(active.astype(vm.dtype), axis=-2, keepdims=True)
-        s = jnp.sum(jnp.where(active, vm, 0.0), axis=-2, keepdims=True)
+        count = _sum_assets(active.astype(vm.dtype))
+        s = _sum_assets(jnp.where(active, vm, 0.0))
         return (s - radius) / jnp.maximum(count, 1.0)
 
     # num_iters is a static Python int and small (warm sweeps: 2-4);
@@ -237,7 +262,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             inner = sv * aq
             theta = theta0
             if use_ball:
-                l1 = jnp.sum(aq, axis=-2, keepdims=True)
+                l1 = _sum_assets(aq)
                 theta = _packed_threshold(
                     aq + nm, sig_tau, n_sweeps, theta0=theta0,
                     n_valid=float(N),
@@ -263,10 +288,10 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
         def smooth_grad(w):
             if S is None:
-                port = jnp.sum(w * r, axis=-2, keepdims=True)   # [H, 1, TB]
+                port = _sum_assets(w * r)                       # [H, 1, TB]
                 # Divide on the [H, 1, TB] reduction, multiply full-width.
                 return r * (-1.0 / jnp.maximum(port, 1e-12))
-            port = jnp.sum(w[None] * r, axis=-2, keepdims=True)  # [S,H,1,TB]
+            port = _sum_assets(w[None] * r)                       # [S,H,1,TB]
             g = r * (-1.0 / jnp.maximum(port, 1e-12))
             return jnp.mean(g, axis=0)                            # [H,NP,TB]
 
@@ -278,10 +303,10 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # fewer per iteration than materializing grad. Fixed-step
             # bodies only; the adaptive body carries its own tau.
             if S is None:
-                port = jnp.sum(w * r, axis=-2, keepdims=True)
+                port = _sum_assets(w * r)
                 g = r * (tau_p / jnp.maximum(port, 1e-12))
             else:
-                port = jnp.sum(w[None] * r, axis=-2, keepdims=True)
+                port = _sum_assets(w[None] * r)
                 g = jnp.mean(
                     r * (tau_p / jnp.maximum(port, 1e-12)), axis=0
                 )
@@ -340,7 +365,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 aq = jnp.maximum(jnp.abs(q) - c, 0.0)
                 inner = sv * aq
                 if use_ball:
-                    l1 = jnp.sum(aq, axis=-2, keepdims=True)
+                    l1 = _sum_assets(aq)
                     th_p = _sched_threshold(
                         aq + nm, sig_tau, th_p, pred, extra, N
                     )
@@ -381,7 +406,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             a = jnp.maximum(jnp.abs(v) - c * inv_s, 0.0)
             inner = sv * a
             if use_ball:
-                l1 = jnp.sum(a, axis=-2, keepdims=True)
+                l1 = _sum_assets(a)
                 th_p = _packed_threshold(
                     a + nm, tau_to, warm_iters,
                     theta0=th_p if warm else None, n_valid=float(N),

@@ -550,3 +550,26 @@ def test_packed_mean_variance_adaptive_matches_xla():
         w_k, i_k = solve_mpc_mean_variance_pallas_packed(cw, mu, Sig, p)
         assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_k))) < 5e-6
         assert bool(jnp.all(i_k["converged"]))
+
+
+def test_packed_large_n_mxu_reduction_parity():
+    """N >= 256 routes asset-axis reductions through the MXU ones-matmul
+    (_sum_assets); the result must still match the XLA scan. Small batch
+    and iteration budget keep interpret-mode CPU cost low while
+    exercising the dot-based threshold sweeps, portfolio sums, and l1."""
+    from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
+    from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_pallas_packed
+
+    rng = np.random.default_rng(7)
+    B, H, N = 3, 2, 260
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    p = MPCParams(max_iters=300, sigma_scale=2.0)
+    w_x, i_x = solve_mpc_log_utility_batch(cw, ys, p)
+    w_pk, i_pk = solve_mpc_log_utility_pallas_packed(cw, ys, p)
+    assert np.max(np.abs(np.asarray(w_x) - np.asarray(w_pk))) < 5e-4
+    np.testing.assert_allclose(
+        np.asarray(i_pk["objective"]), np.asarray(i_x["objective"]),
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(np.asarray(w_pk).sum(-1), 1.0, atol=1e-4)
