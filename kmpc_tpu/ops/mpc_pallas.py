@@ -11,7 +11,8 @@ Layout (v5e, measured at 1000 iterations, warm thresholds in all
 paths): ``solve_mpc_log_utility_pallas_packed`` — batch-in-lanes.
 The problem batch rides the 128-lane axis (always full), assets ride
 sublanes (N=30 -> 32, 1.07x pad), the horizon is the leading untiled
-axis; asset reductions are sublane reductions. Beats the XLA scan
+axis; asset reductions are sublane reductions (small N) or MXU
+ones-matmuls (N >= 256, see _sum_assets). Beats the XLA scan
 everywhere: 156k vs 94k solves/s on the H=5/N=30 headline (the scan
 is HBM-bound there: ~8 arrays x B*H*N*4B >> 16 MB VMEM round-trip
 every iteration), 41.8k vs 28.0k at H=20, 11.6k vs 6.9k at N=500,
