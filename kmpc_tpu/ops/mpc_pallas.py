@@ -91,18 +91,21 @@ def _needs_xla_fallback(params: MPCParams) -> bool:
 def _sum_assets(x):
     """Sum a [..., H, NP, TB] block over the asset (sublane) axis.
 
-    Small NP: a plain cross-sublane VPU reduce. Large NP (>= 256): the
+    Small NP: a plain cross-sublane VPU reduce. Large NP (>= 64): the
     VPU reduce is a ~NP/8-vreg sequential add chain on the solver's
     critical path while the MXU sits idle, so the reduction runs as an
     [8, NP] ones-matmul instead (row 0 of the [8, TB] product is the
     sum; the other 7 rows are free — the MXU is otherwise unused in the
     log-utility kernel). Leading axes beyond H are unrolled statically
-    (scenario blocks). Measured on v5e at N=500/H=5: 15.0k -> 18.2k
-    solves/s (+21%) from the threshold sweeps alone, 18.9k (+26%) with
-    the portfolio and l1 sums offloaded too.
+    (scenario blocks). Measured on v5e (H=5, 1000 iters): N=500
+    15.0k -> 18.9k solves/s (+26%; threshold sweeps alone +21%),
+    N=120 +9%, N=64 +9%. The gate is measured, not guessed: at N=40
+    the VPU wins by 12% and at N=30 by 8% (a 4-5-vreg add chain beats
+    the MXU staging round-trip), so the crossover sits between NP=40
+    and NP=64.
     """
     NP = x.shape[-2]
-    if NP < 256:
+    if NP < 64:
         return jnp.sum(x, axis=-2, keepdims=True)
     ones = jnp.ones((8, NP), x.dtype)
     if x.ndim == 3:
