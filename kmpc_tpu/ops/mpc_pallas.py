@@ -109,8 +109,14 @@ def _sum_assets(x):
         return jnp.sum(x, axis=-2, keepdims=True)
     ones = jnp.ones((8, NP), x.dtype)
     if x.ndim == 3:
+        # precision=HIGHEST pins the Mosaic contraction to exact f32
+        # (unpinned, the MXU default is a single bf16 pass: ~0.4%
+        # per-element rounding in sums that feed the Michelot threshold
+        # and the feas_tol=2e-4 convergence margin). Measured on v5e:
+        # the pin costs nothing (N=500 18.7k vs 18.9k, within run noise).
         return jnp.stack([
-            jnp.dot(ones, x[h], preferred_element_type=jnp.float32)[:1]
+            jnp.dot(ones, x[h], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)[:1]
             for h in range(x.shape[0])
         ])
     return jnp.stack([_sum_assets(x[s]) for s in range(x.shape[0])])
@@ -867,7 +873,8 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
             if shared_sigma:
                 quad = jnp.stack([
                     jnp.dot(Sigma, w[h],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                     for h in range(H)
                 ])
             else:
