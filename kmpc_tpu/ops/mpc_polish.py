@@ -323,9 +323,13 @@ def solve_mpc_log_utility_batch_polished(
     anywhere machine-precision KKT points matter more than throughput.
     """
     import numpy as np
+    from dataclasses import replace
 
     from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
 
+    # THIS function honors params.polish; the inner batch solves must not
+    # see the flag (they would refuse it — reject_unhonored_polish).
+    params = replace(params, polish=False)
     w, info = solve_mpc_log_utility_batch(
         current_weights, predicted_log_returns, params
     )
@@ -342,8 +346,6 @@ def solve_mpc_log_utility_batch_polished(
         y64 = jnp.asarray(y_np)
         w_cur = jnp.asarray(w_np)
         p_cur = jnp.asarray(p_np)
-        from dataclasses import replace
-
         cont = replace(params, max_iters=continue_iters)
         pol_info = None
         for cycle in range(max(1, cycles)):

@@ -32,6 +32,7 @@ from kmpc_tpu.ops.mpc import (
     _apply_D,
     _apply_Dt,
     _balance_steps,
+    reject_unhonored_polish,
     restore_turnover_feasibility,
 )
 from kmpc_tpu.ops.projections import (
@@ -125,6 +126,7 @@ def solve_mpc_log_utility_scenarios(
         optimal in expectation over its S scenarios; ``info['dual']``
         carries the final dual for warm continuation.
     """
+    reject_unhonored_polish(params, "solve_mpc_log_utility_scenarios")
     r = jnp.exp(scenario_log_returns)                     # [..., S, H, N]
     dtype = r.dtype
     S = r.shape[-3]
