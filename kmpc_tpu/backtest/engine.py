@@ -363,8 +363,15 @@ def _market_step(portfolio_value, current_weights, target_weights, realized_ret,
     port_ret = jnp.where(has_next, jnp.sum(target_weights * gross, axis=-1), 0.0)
     value = value * (1.0 + port_ret)
 
+    # Weight drift (reference: backtest.py:202-208 divides by 1 + r_p
+    # directly). Guard only the exactly-singular point: the clamp must
+    # PRESERVE SIGN — mapping a ruin-day denominator in (-1e-8, 0) to
+    # +1e-8 would silently negate every drifted weight relative to the
+    # reference recursion. jnp.sign(0) == 0, so the 0 case is pinned
+    # positive explicitly.
     denom = 1.0 + port_ret
-    denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+    sign = jnp.where(denom < 0.0, -1.0, 1.0)
+    denom = jnp.where(jnp.abs(denom) < 1e-8, sign * 1e-8, denom)
     drifted = target_weights * (1.0 + gross) / denom[..., None]
     new_weights = jnp.where(has_next[..., None], drifted, target_weights)
     return value, new_weights, port_ret, turnover, cost
@@ -484,12 +491,75 @@ def _history_to_dataframe(history, fd: FinanceData, ts):
 # ---------------------------------------------------------------------------
 
 
+def _sharded_rebalance_fns(strategy, mesh, aux, T: int):
+    """Date-axis-sharded all-dates rebalance wrappers.
+
+    Shards the [T, ...] date axis of the Jacobi sweep's batched solve
+    across the mesh's ('data','scenario') axes with ``jax.shard_map`` —
+    the workload's "DP" (SURVEY §2 "Scenario/date parallel"; replaces
+    the reference's sequential date loop, reference: backtest.py:163-173)
+    — so a pod slice solves T/n_devices dates per chip per sweep. T is
+    edge-padded up to a multiple of the device count (padded dates solve
+    a copy of the last date and are dropped); the cheap sequential
+    wealth recursion stays replicated, XLA inserting the all-gather of
+    the targets automatically.
+    """
+    spec = jax.sharding.PartitionSpec(("data", "scenario"))
+    rep = jax.sharding.PartitionSpec()
+    nd = mesh.shape["data"] * mesh.shape["scenario"]
+    Tp = -(-T // nd) * nd
+
+    def _is_dated(a):
+        return hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == T
+
+    def _pad(a):
+        if Tp == T or not _is_dated(a):
+            return a
+        return jnp.concatenate(
+            [a, jnp.repeat(a[-1:], Tp - T, axis=0)], axis=0
+        )
+
+    aux_specs = jax.tree.map(lambda a: spec if _is_dated(a) else rep, aux)
+
+    def rebalance_all(aux_arg, guess):
+        f = jax.shard_map(
+            strategy.rebalance_all, mesh=mesh,
+            in_specs=(aux_specs, spec), out_specs=spec,
+            # pallas_call carries no varying-mesh-axes annotation; the
+            # per-date outputs vary on the date axis only.
+            check_vma=False,
+        )
+        tgt = f(jax.tree.map(_pad, aux_arg), _pad(guess))
+        return tgt[:T]
+
+    def rebalance_all_warm(aux_arg, guess, warm, max_iters=None):
+        def local(a, g, wm):
+            return strategy.rebalance_all_warm(a, g, wm, max_iters=max_iters)
+
+        # warm is None on the cold first sweep; afterwards a (primal,
+        # dual) tuple of [Tp, H, N] arrays that STAYS padded across
+        # sweeps (shape-stable scan carry), so _pad passes it through.
+        warm_specs = jax.tree.map(lambda _: spec, warm)
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(aux_specs, spec, warm_specs),
+            out_specs=(spec, (spec, spec)),
+            check_vma=False,
+        )
+        tgt, wm = f(jax.tree.map(_pad, aux_arg), _pad(guess),
+                    jax.tree.map(_pad, warm))
+        return tgt[:T], wm
+
+    return rebalance_all, rebalance_all_warm
+
+
 def make_parallel_backtester(
     strategy,
     fd: FinanceData,
     config: BacktestConfig,
     num_sweeps: int = 8,
     warm_sweeps_iters: Optional[int] = None,
+    mesh=None,
 ):
     """Build a reusable compiled Jacobi backtester.
 
@@ -504,6 +574,12 @@ def make_parallel_backtester(
     iterations. Between sweeps only the pre-trade weights move — and
     less each sweep — so a quarter-budget warm sweep tracks the cold
     fixed point to backtest tolerance at a fraction of the cost.
+
+    ``mesh`` (a ('data','scenario','model') jax Mesh, see
+    parallel/mesh.py): shards the DATE axis of every sweep's batched
+    solve across the mesh's data x scenario devices — each chip solves
+    its date shard, the cheap wealth recursion stays replicated.
+    History equals the unsharded run's (same solves, scattered).
     """
     # Same date-count contract as make_backtester (reference:
     # backtest.py:150 over a Dataset sequence_length shorter than the
@@ -552,12 +628,6 @@ def make_parallel_backtester(
         _, out = jax.lax.scan(body, init, (ts_j, targets))
         return out
 
-    def sweep(aux_arg, returns_arg, pre_trade_guess):
-        # Batched rebalance for every date given guessed weights, then
-        # the wealth recursion.
-        targets = strategy.rebalance_all(aux_arg, pre_trade_guess)  # [T, N]
-        return recursion(returns_arg, targets)
-
     use_warm = warm_sweeps_iters is not None
     if use_warm and not hasattr(strategy, "rebalance_all_warm"):
         raise ValueError(
@@ -565,6 +635,20 @@ def make_parallel_backtester(
         )
     if use_warm and num_sweeps < 2:
         raise ValueError("warm_sweeps_iters needs num_sweeps >= 2")
+
+    if mesh is not None:
+        _rebalance_all, _rebalance_all_warm = _sharded_rebalance_fns(
+            strategy, mesh, aux_t, T
+        )
+    else:
+        _rebalance_all = strategy.rebalance_all
+        _rebalance_all_warm = getattr(strategy, "rebalance_all_warm", None)
+
+    def sweep(aux_arg, returns_arg, pre_trade_guess):
+        # Batched rebalance for every date given guessed weights, then
+        # the wealth recursion.
+        targets = _rebalance_all(aux_arg, pre_trade_guess)  # [T, N]
+        return recursion(returns_arg, targets)
 
     # aux/returns as ARGUMENTS (closure-captured device arrays would be
     # embedded as program constants — prohibitive at 500-asset scale).
@@ -576,14 +660,14 @@ def make_parallel_backtester(
             # Sweep 1: cold, full budget. Later sweeps: warm-started
             # quarter-ish budget; the (primal, dual) carry rides the
             # sweep scan.
-            targets, warm = strategy.rebalance_all_warm(
+            targets, warm = _rebalance_all_warm(
                 aux_arg, guess0, None
             )
             guess = recursion(returns_arg, targets)["pre_trade"]
 
             def warm_body(carry, _):
                 g, wm = carry
-                tgt, wm = strategy.rebalance_all_warm(
+                tgt, wm = _rebalance_all_warm(
                     aux_arg, g, wm, max_iters=warm_sweeps_iters
                 )
                 return (recursion(returns_arg, tgt)["pre_trade"], wm), None
@@ -592,7 +676,7 @@ def make_parallel_backtester(
                 warm_body, (guess, warm), None,
                 length=max(num_sweeps - 2, 0),
             )
-            targets, _ = strategy.rebalance_all_warm(
+            targets, _ = _rebalance_all_warm(
                 aux_arg, guess, warm, max_iters=warm_sweeps_iters
             )
             return recursion(returns_arg, targets)
@@ -620,6 +704,7 @@ def run_backtest_parallel(
     num_sweeps: int = 8,
     return_dataframe: bool = True,
     warm_sweeps_iters: Optional[int] = None,
+    mesh=None,
 ):
     """Backtest via Jacobi sweeps: batch-solve all dates, re-run the wealth
     recursion, iterate.
@@ -635,7 +720,7 @@ def run_backtest_parallel(
     repeated runs."""
     run, ts = make_parallel_backtester(
         strategy, fd, config, num_sweeps,
-        warm_sweeps_iters=warm_sweeps_iters,
+        warm_sweeps_iters=warm_sweeps_iters, mesh=mesh,
     )
     history = run()
     history = {k: np.asarray(v) for k, v in history.items()}

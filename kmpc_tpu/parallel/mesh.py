@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -183,8 +184,27 @@ def make_sharded_train_step(cfg: Config, model: KoopmanModel, mesh: Mesh, dt: fl
     return sharded_step
 
 
-def sharded_mpc_solver(mesh: Mesh, mpc_params, use_fused_kernel: bool = False):
-    """Scenario-sharded batched log-utility MPC solve.
+# Info keys common to every solver path (the packed wrappers' contract,
+# ops/mpc_pallas.py::_match_packed_info); the sharded wrappers restrict
+# the info dict to these so XLA and fused paths return the same pytree
+# structure and shard_map out_specs stay program-independent.
+_SHARDED_INFO_KEYS = (
+    "objective", "converged", "turnover_violation", "fixed_point_residual",
+)
+
+
+def sharded_mpc_solver(mesh: Mesh, mpc_params, use_fused_kernel: bool = False,
+                       program: str = "log"):
+    """Scenario-sharded batched MPC solve for the full program surface.
+
+    ``program`` selects the convex program (SURVEY §2 "Scenario/date
+    parallel" — all three workload programs shard, not just the raw
+    log-utility solver):
+        'log'      — deterministic log-utility/Kelly:  (cw [B,N], ys [B,H,N])
+        'scenario' — scenario-averaged Kelly:          (cw [B,N], scen [B,S,H,N])
+        'mv'       — mean-variance (Markowitz):        (cw [B,N], mu [B,H,N],
+                     sigma [B,N,N] per-problem sharded or [N,N] shared
+                     replicated)
 
     Shards the problem batch across ('data','scenario') so a pod slice
     solves its shard locally; per-problem results need no cross-chip
@@ -196,44 +216,104 @@ def sharded_mpc_solver(mesh: Mesh, mpc_params, use_fused_kernel: bool = False):
     partitioner cannot split a custom kernel call, so the per-device
     program is made explicit). Requires the batch to divide evenly by
     mesh.shape['data'] * mesh.shape['scenario'].
+
+    Returns ``solve(cw, ys)`` / ``solve(cw, scen)`` / ``solve(cw, mu,
+    sigma)`` whose info dict carries the packed-wrapper keys
+    (objective, converged, turnover_violation, fixed_point_residual) on
+    every path. The mean-variance solvers report no turnover violation
+    (the reference MV program has no turnover ball, reference:
+    mpc.py:144-171); the key is zero-filled for structural uniformity.
     """
-    from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
+    if program not in ("log", "scenario", "mv"):
+        raise ValueError(f"unknown program {program!r}")
 
-    if use_fused_kernel:
-        from kmpc_tpu.ops.mpc_pallas import (
-            solve_mpc_log_utility_pallas_packed,
-        )
+    spec = P(("data", "scenario"))
+    info_spec = {k: spec for k in _SHARDED_INFO_KEYS}
 
-        spec = P(("data", "scenario"))
+    def _restrict(w, info):
+        out = {}
+        for k in _SHARDED_INFO_KEYS:
+            if k in info:
+                out[k] = info[k]
+            else:  # MV: no turnover ball in the reference program
+                out[k] = jnp.zeros_like(info["fixed_point_residual"])
+        return w, out
+
+    if program == "log":
+        if use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_log_utility_pallas_packed as _solver,
+            )
+        else:
+            from kmpc_tpu.ops.mpc import (
+                solve_mpc_log_utility_batch as _solver,
+            )
 
         def local_solve(cw, ys):
-            return solve_mpc_log_utility_pallas_packed(cw, ys, mpc_params)
+            return _restrict(*_solver(cw, ys, mpc_params))
 
-        solve = jax.jit(
-            jax.shard_map(
-                local_solve,
-                mesh=mesh,
-                in_specs=(spec, spec),
-                out_specs=(spec, {"objective": spec, "converged": spec,
-                                  "turnover_violation": spec,
-                                  "fixed_point_residual": spec}),
-                # pallas_call's out_shape carries no varying-mesh-axes
-                # annotation; per-problem outputs are trivially varying
-                # on the batch axes only.
-                check_vma=False,
+    elif program == "scenario":
+        if use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_log_utility_scenarios_packed as _solver,
             )
-        )
-    else:
-
-        @jax.jit
-        def solve(current_weights, predicted_log_returns):
-            return solve_mpc_log_utility_batch(
-                current_weights, predicted_log_returns, mpc_params
+        else:
+            from kmpc_tpu.ops.scenario import (
+                solve_mpc_log_utility_scenarios as _solver,
             )
 
-    def sharded_solve(current_weights, predicted_log_returns):
-        cw = shard_batch(current_weights, mesh, ("data", "scenario"))
-        ys = shard_batch(predicted_log_returns, mesh, ("data", "scenario"))
-        return solve(cw, ys)
+        def local_solve(cw, scen):
+            return _restrict(*_solver(cw, scen, mpc_params))
+
+    else:  # mv
+        if use_fused_kernel:
+            from kmpc_tpu.ops.mpc_pallas import (
+                solve_mpc_mean_variance_pallas_packed as _solver,
+            )
+        else:
+            from kmpc_tpu.ops.mpc import (
+                solve_mpc_mean_variance_batch as _solver,
+            )
+
+        def local_solve(cw, mu, sigma):
+            return _restrict(*_solver(cw, mu, sigma, mpc_params))
+
+    # Cache one compiled solve per input structure (MV: the covariance
+    # may be per-problem [B,N,N] — sharded — or shared [N,N] —
+    # replicated; each gets its own shard_map/jit).
+    compiled: Dict = {}
+
+    def _build(arg_specs):
+        if use_fused_kernel:
+            return jax.jit(
+                jax.shard_map(
+                    local_solve,
+                    mesh=mesh,
+                    in_specs=arg_specs,
+                    out_specs=(spec, info_spec),
+                    # pallas_call's out_shape carries no varying-mesh-axes
+                    # annotation; per-problem outputs are trivially
+                    # varying on the batch axes only.
+                    check_vma=False,
+                )
+            )
+        return jax.jit(local_solve)
+
+    def sharded_solve(current_weights, *rest):
+        B = current_weights.shape[0]
+        args = [shard_batch(current_weights, mesh, ("data", "scenario"))]
+        arg_specs = [spec]
+        for a in rest:
+            batched = a.ndim >= 1 and a.shape[0] == B
+            if batched:
+                args.append(shard_batch(a, mesh, ("data", "scenario")))
+                arg_specs.append(spec)
+            else:  # shared covariance: replicate
+                args.append(replicate(a, mesh))
+                arg_specs.append(P())
+        key = tuple(str(s) for s in arg_specs)
+        if key not in compiled:
+            compiled[key] = _build(tuple(arg_specs))
+        return compiled[key](*args)
 
     return sharded_solve

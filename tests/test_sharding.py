@@ -266,3 +266,140 @@ def test_train_finance_with_parallel_config(tmp_path):
     assert int(state["step"]) == 4
     # kmat came back tensor-parallel sharded.
     assert state["params"]["kmat"].sharding.spec == P(None, "model")
+
+
+# ---------------------------------------------------------------------------
+# Full sharded workload surface (round-3: scenario/MV programs + the
+# date-sharded Jacobi backtest — SURVEY §2 "Scenario/date parallel")
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+@pytest.mark.parametrize("fused", [False, True])
+def test_sharded_scenario_solver_matches_unsharded(fused):
+    from kmpc_tpu.ops.scenario import solve_mpc_log_utility_scenarios
+
+    mesh = make_mesh({"data": 2, "scenario": 4, "model": 1})
+    params = MPCParams(max_iters=200)
+    rng = np.random.default_rng(3)
+    B, S, H, N = 16, 4, 5, 12
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    scen = jnp.asarray(rng.standard_normal((B, S, H, N)) * 0.01, jnp.float32)
+
+    w_ref, _ = solve_mpc_log_utility_scenarios(cw, scen, params)
+    solve = sharded_mpc_solver(mesh, params, use_fused_kernel=fused,
+                               program="scenario")
+    w_sh, info = solve(cw, scen)
+    assert w_sh.shape == (B, H, N)
+    assert set(info) == {"objective", "converged", "turnover_violation",
+                         "fixed_point_residual"}
+    tol = 5e-4 if fused else 1e-5
+    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_sh))) < tol
+
+
+@requires_8
+@pytest.mark.parametrize("fused", [False, True])
+@pytest.mark.parametrize("shared_sigma", [False, True])
+def test_sharded_mean_variance_solver_matches_unsharded(fused, shared_sigma):
+    from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+
+    mesh = make_mesh({"data": 2, "scenario": 4, "model": 1})
+    params = MPCParams(max_iters=300, gamma=5.0)
+    rng = np.random.default_rng(4)
+    B, H, N = 16, 1, 12
+    cw = jnp.asarray(rng.dirichlet(np.ones(N), size=B), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((B, H, N)) * 0.01, jnp.float32)
+    if shared_sigma:
+        A = rng.standard_normal((N, N)) * 0.01
+        sig = jnp.asarray(A @ A.T + np.eye(N) * 1e-4, jnp.float32)
+    else:
+        A = rng.standard_normal((B, N, N)) * 0.01
+        sig = jnp.asarray(
+            np.einsum("bij,bkj->bik", A, A) + np.eye(N) * 1e-4, jnp.float32
+        )
+
+    w_ref, _ = solve_mpc_mean_variance_batch(cw, mu, sig, params)
+    solve = sharded_mpc_solver(mesh, params, use_fused_kernel=fused,
+                               program="mv")
+    w_sh, info = solve(cw, mu, sig)
+    assert w_sh.shape == (B, H, N)
+    # MV has no turnover ball; the uniform info key is zero-filled.
+    assert np.all(np.asarray(info["turnover_violation"]) == 0.0)
+    tol = 5e-4 if fused else 1e-5
+    assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_sh))) < tol
+
+
+@requires_8
+@pytest.mark.parametrize("fused", [False, True])
+def test_date_sharded_parallel_backtest_matches_unsharded(fused):
+    """make_parallel_backtester(mesh=...) shards the date axis; the
+    history must equal the unsharded Jacobi run's (same solves,
+    scattered). T is chosen NOT divisible by the 8 devices to exercise
+    the edge padding."""
+    from dataclasses import replace as dc_replace
+
+    from test_backtest import _mock_finance_data
+
+    from kmpc_tpu.backtest.engine import (
+        DMDStrategy,
+        make_parallel_backtester,
+    )
+    from kmpc_tpu.config import BacktestConfig
+
+    fd = _mock_finance_data(T=48, N=6, seed=11)   # ~43 rebalance dates
+    strat = DMDStrategy(mpc=MPCParams(max_iters=150),
+                        use_fused_kernel=fused)
+    cfg = BacktestConfig(HORIZON=3)
+
+    run_ref, ts = make_parallel_backtester(strat, fd, cfg, num_sweeps=3)
+    hist_ref = run_ref()
+
+    mesh = make_mesh({"data": 2, "scenario": 4, "model": 1})
+    assert len(ts) % 8 != 0, "test must exercise the date padding"
+    run_sh, ts_sh = make_parallel_backtester(
+        strat, fd, cfg, num_sweeps=3, mesh=mesh
+    )
+    hist_sh = run_sh()
+    assert list(ts_sh) == list(ts)
+    np.testing.assert_allclose(
+        np.asarray(hist_sh["portfolio_value"]),
+        np.asarray(hist_ref["portfolio_value"]), rtol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_sh["weights"]), np.asarray(hist_ref["weights"]),
+        atol=3e-5,
+    )
+
+
+@requires_8
+def test_date_sharded_warm_sweeps_matches_unsharded():
+    """The warm-sweep Jacobi path also shards by date (the (primal,
+    dual) warm carry rides the sweep scan padded)."""
+    from test_backtest import _mock_finance_data, _tiny_koopman
+
+    from kmpc_tpu.backtest.engine import (
+        KoopmanMPCStrategy,
+        make_parallel_backtester,
+    )
+    from kmpc_tpu.config import BacktestConfig
+
+    fd = _mock_finance_data(T=40, N=4, seed=13)
+    model, params = _tiny_koopman(fd)
+    strat = KoopmanMPCStrategy(model=model, params=params,
+                               mpc=MPCParams(max_iters=200))
+    cfg = BacktestConfig(HORIZON=3)
+
+    run_ref, ts = make_parallel_backtester(
+        strat, fd, cfg, num_sweeps=3, warm_sweeps_iters=50
+    )
+    hist_ref = run_ref()
+
+    mesh = make_mesh({"data": 4, "scenario": 2, "model": 1})
+    run_sh, _ = make_parallel_backtester(
+        strat, fd, cfg, num_sweeps=3, warm_sweeps_iters=50, mesh=mesh
+    )
+    hist_sh = run_sh()
+    np.testing.assert_allclose(
+        np.asarray(hist_sh["portfolio_value"]),
+        np.asarray(hist_ref["portfolio_value"]), rtol=2e-5,
+    )
