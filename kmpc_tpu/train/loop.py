@@ -431,8 +431,18 @@ def train_finance(
 
     start_step = 0
     if checkpoint_path is not None:
-        state, meta = load_checkpoint(checkpoint_path, state)
-        start_step = int(meta["step"])
+        if str(checkpoint_path).endswith(".pt"):
+            # Reference torch checkpoint: params AND AdamW moments
+            # (reference resume contract, train.py:378-384).
+            from kmpc_tpu.utils.torch_import import (
+                resume_train_state_from_torch,
+            )
+
+            state = resume_train_state_from_torch(checkpoint_path, cfg, state)
+            start_step = int(state["step"])
+        else:
+            state, meta = load_checkpoint(checkpoint_path, state)
+            start_step = int(meta["step"])
         if verbose:
             print(f"Resumed from checkpoint at step {start_step}")
 
@@ -599,8 +609,18 @@ def train_system(
 
     start_step = 0
     if checkpoint_path is not None:
-        state, meta = load_checkpoint(checkpoint_path, state)
-        start_step = int(meta["step"])
+        if str(checkpoint_path).endswith(".pt"):
+            # Reference torch checkpoint: params AND AdamW moments
+            # (reference resume contract, train.py:378-384).
+            from kmpc_tpu.utils.torch_import import (
+                resume_train_state_from_torch,
+            )
+
+            state = resume_train_state_from_torch(checkpoint_path, cfg, state)
+            start_step = int(state["step"])
+        else:
+            state, meta = load_checkpoint(checkpoint_path, state)
+            start_step = int(meta["step"])
         if verbose:
             print(f"Resumed from checkpoint at step {start_step}")
 

@@ -30,9 +30,15 @@ against hand-built torch forwards):
   (reference: model.py:818-820) -> verbatim. The ``dict_init`` buffer is
   initialization state, not a parameter -> dropped.
 
-Optimizer state is NOT converted: the reference uses torch AdamW whose
-moment layout mirrors torch parameter shapes; resuming training here
-re-warms optax state from the imported params instead.
+Optimizer state IS converted: the reference resume contract restores
+AdamW moments along with the params (reference: train.py:378-384,
+825-830; optimizer groups: train.py:158-188 — 'other' params at
+TRAIN.LR with weight decay, 'kmat' at TRAIN.K_MATRIX_LR without).
+``convert_optimizer_state`` maps each torch param's exp_avg/exp_avg_sq
+onto the optax AdamW state tree (same per-parameter layout transposes
+as the params themselves), and ``resume_train_state_from_torch`` builds
+a ready train-state so ``train.py --checkpoint ref_run/checkpoint.pt``
+continues a reference run with moments intact.
 """
 
 from __future__ import annotations
@@ -96,6 +102,166 @@ def convert_state_dict(state_dict: Dict, model_name: str) -> Dict:
             "kmat": _to_np(sd["kmat"]),
         }
     raise ValueError(f"Unknown model '{model_name}'")
+
+
+# state_dict keys that are torch BUFFERS, not parameters (they appear in
+# model_state_dict but never in named_parameters / optimizer state).
+_BUFFER_KEYS = ("dict_init",)
+
+
+def _optimizer_index_to_name(optimizer_state_dict: Dict, model_state_dict: Dict):
+    """Map torch optimizer param indices -> state-dict parameter names.
+
+    torch's ``optimizer.state_dict()`` keys per-param state by a global
+    index assigned in param-group order; the reference's build_optimizer
+    creates [other_params..., kmat_params...] with each group in
+    ``named_parameters`` order (reference: train.py:158-188), which is
+    the model_state_dict key order minus buffers.
+    """
+    names = [k for k in model_state_dict if k not in _BUFFER_KEYS]
+    other = [n for n in names if "kmat" not in n]
+    kmat = [n for n in names if "kmat" in n]
+    groups = optimizer_state_dict["param_groups"]
+    if len(groups) == 2:
+        ordered_groups = [other, kmat]
+    elif len(groups) == 1:
+        ordered_groups = [other + kmat]
+    else:
+        raise ValueError(
+            f"expected 1 or 2 AdamW param groups (reference layout), got "
+            f"{len(groups)}"
+        )
+    mapping = {}
+    for group, group_names in zip(groups, ordered_groups):
+        idxs = list(group["params"])
+        if len(idxs) != len(group_names):
+            raise ValueError(
+                f"optimizer group has {len(idxs)} params but the model "
+                f"state dict implies {len(group_names)} "
+                f"({group_names[:3]}...) — not a reference-layout checkpoint"
+            )
+        mapping.update(zip(idxs, group_names))
+    return mapping
+
+
+def convert_optimizer_state(
+    optimizer_state_dict: Dict,
+    model_state_dict: Dict,
+    model_name: str,
+    params: Dict,
+    tx,
+):
+    """Reference torch-AdamW ``optimizer_state_dict`` -> optax opt_state.
+
+    ``tx`` is the optax transformation from ``train.loop.build_optimizer``
+    (multi_transform over {'other','kmat'} AdamW groups — the same
+    partition as the reference, train.py:158-188). Per-parameter
+    ``exp_avg``/``exp_avg_sq`` moments are converted with the SAME layout
+    mapping as the parameters themselves (convert_state_dict — moments
+    are elementwise per-parameter, so the Linear [out,in]->[in,out]
+    transposes apply identically) and grafted into ``tx.init(params)``'s
+    ScaleByAdamState leaves; the bias-correction count is the torch
+    per-param step (identical across params after normal training).
+    Parameters with no recorded state keep zero moments (torch populates
+    state lazily on first update — same semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    mapping = _optimizer_index_to_name(optimizer_state_dict, model_state_dict)
+    state = optimizer_state_dict.get("state", {})
+
+    exp_avg_sd: Dict = {}
+    exp_avg_sq_sd: Dict = {}
+    steps = []
+    for idx, name in mapping.items():
+        s = state.get(idx, state.get(str(idx)))
+        if s is None:  # never updated: zero moments (optax init default)
+            exp_avg_sd[name] = model_state_dict[name] * 0
+            exp_avg_sq_sd[name] = model_state_dict[name] * 0
+            continue
+        exp_avg_sd[name] = s["exp_avg"]
+        exp_avg_sq_sd[name] = s["exp_avg_sq"]
+        steps.append(int(s["step"]))
+
+    opt_state = tx.init(params)
+    if not steps:
+        return opt_state
+    count = max(steps)
+    mu_full = convert_state_dict(exp_avg_sd, model_name)
+    nu_full = convert_state_dict(exp_avg_sq_sd, model_name)
+
+    def graft(masked_tree, full_tree):
+        # multi_transform masks each group's state: masked-out leaves are
+        # optax.MaskedNode sentinels; real leaves take the torch moments.
+        return jax.tree.map(
+            lambda m, f: m if isinstance(m, optax.MaskedNode)
+            else jnp.asarray(f),
+            masked_tree, full_tree,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+        )
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jnp.asarray(count, node.count.dtype),
+                mu=graft(node.mu, mu_full),
+                nu=graft(node.nu, nu_full),
+            )
+        return node
+
+    return jax.tree.map(
+        fix, opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+    )
+
+
+def resume_train_state_from_torch(
+    path: str,
+    cfg,
+    state: Dict,
+    allow_pickle: bool = False,
+) -> Dict:
+    """Build a full kmpc_tpu train state (params + AdamW moments + step)
+    from a reference ``checkpoint.pt`` — the reference resume contract
+    (reference: train.py:378-384: model AND optimizer state restored).
+
+    ``state`` is the freshly initialized train state whose structure the
+    loaded checkpoint must match (same shape-compatibility contract as
+    utils/checkpoint.load_checkpoint).
+    """
+    import jax
+
+    ckpt = load_torch_checkpoint(path, allow_pickle=allow_pickle)
+    params = ckpt["params"]
+
+    def check(a, b):
+        if tuple(jax.numpy.shape(a)) != tuple(jax.numpy.shape(b)):
+            raise ValueError(
+                f"checkpoint param shape {jax.numpy.shape(b)} does not "
+                f"match the configured model {jax.numpy.shape(a)}"
+            )
+        return b
+
+    params = jax.tree.map(check, state["params"], params)
+
+    from kmpc_tpu.train.loop import build_optimizer
+
+    tx = build_optimizer(cfg, params)
+    osd = ckpt.get("optimizer_state_dict")
+    if osd is not None:
+        opt_state = convert_optimizer_state(
+            osd, ckpt["model_state_dict"], cfg.MODEL.MODEL_NAME, params, tx
+        )
+    else:
+        opt_state = tx.init(params)
+    step = int(ckpt.get("step") or 0)
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jax.numpy.asarray(step, jax.numpy.int32),
+    }
 
 
 def load_torch_checkpoint(
@@ -170,6 +336,10 @@ def load_torch_checkpoint(
         "epoch": ckpt.get("epoch"),
         "metrics": ckpt.get("metrics"),
         "finance_metadata": ckpt.get("finance_metadata"),
+        # Raw state dicts for the optimizer-resume path
+        # (convert_optimizer_state / resume_train_state_from_torch).
+        "model_state_dict": sd,
+        "optimizer_state_dict": ckpt.get("optimizer_state_dict"),
     }
 
 
