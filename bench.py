@@ -48,11 +48,114 @@ def _timed(solve, make_inputs, reps):
         last = solve(*inputs)
         float(last[-1])
         times.append(time.perf_counter() - t0)
-    return min(times), last
+    return times, last
+
+
+def _time_stats(times, work):
+    """Throughput stats over reps: the HEADLINE value is work/median
+    (reproducible across sessions, unlike min-of-reps — chip timings
+    through the relay vary ~±8% run-to-run and more across sessions);
+    min/max and the relative spread are reported alongside so a reader
+    of the JSON can judge the noise band (round-2 VERDICT weak #1)."""
+    med = float(np.median(times))
+    return {
+        "value": work / med,
+        "reps": len(times),
+        "median_time_s": round(med, 4),
+        "best_time_s": round(min(times), 4),
+        "worst_time_s": round(max(times), 4),
+        "throughput_best": round(work / min(times), 1),
+        "throughput_worst": round(work / max(times), 1),
+        "spread_pct": round(100.0 * (max(times) - min(times)) / med, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Solution-quality probe: objective gap vs a cached f64 verified oracle
+# ---------------------------------------------------------------------------
+
+_PROBE_SIZE = 64
+_PROBE_SEED = 1234
+_PROBE_CACHE = "bench_probe_cache.json"
+
+
+def _probe_instances(H, N):
+    r = np.random.default_rng(_PROBE_SEED)
+    cw = r.dirichlet(np.ones(N), size=_PROBE_SIZE).astype(np.float32)
+    ys = (r.standard_normal((_PROBE_SIZE, H, N)) * 0.01 + 0.0005).astype(
+        np.float32
+    )
+    return cw, ys
+
+
+def _min_objective(w, ys, cw, cost_coeff=0.001):
+    """Min-form log-utility objective, float64 host (no ridge — the
+    bench solves the reference program, reference: mpc.py:35-103)."""
+    w = np.asarray(w, np.float64)
+    r = np.exp(np.asarray(ys, np.float64))
+    port = np.maximum((w * r).sum(-1), 1e-300)
+    prev = np.concatenate([np.asarray(cw, np.float64)[:, None], w[:, :-1]], 1)
+    u = w - prev
+    return -np.log(port).sum(-1) + cost_coeff * np.abs(u).sum((-2, -1))
+
+
+def _oracle_probe_objectives(H, N):
+    """Per-instance oracle objectives for the probe set, cached on disk.
+
+    The oracle is the float64 verified path (PDHG + host semismooth
+    Newton alternation, ops/mpc_polish.py) at a 20k-iteration budget —
+    machine-precision KKT points that dominate scipy trust-constr on
+    this family (RESULTS.md "Measured parity CDF"). Computed once per
+    (H, N); later bench runs read the cache, so the per-run cost is one
+    64-instance probe solve at the benched setting.
+    """
+    import json as _json
+    from pathlib import Path
+
+    key = f"log_H{H}_N{N}_n{_PROBE_SIZE}_seed{_PROBE_SEED}"
+    path = Path(__file__).resolve().parent / _PROBE_CACHE
+    cache = {}
+    if path.exists():
+        cache = _json.loads(path.read_text())
+    if key in cache:
+        return np.asarray(cache[key], np.float64)
+
+    from kmpc_tpu.ops.mpc import MPCParams
+    from kmpc_tpu.ops.mpc_polish import solve_mpc_log_utility_batch_polished
+
+    cw, ys = _probe_instances(H, N)
+    params = MPCParams(max_iters=20000, sigma_scale=2.0, polish_newton=4)
+    # continue_iters capped: the Newton cycles do the accuracy work; the
+    # f64 host PDHG continuations only re-identify active sets, and the
+    # default (max_iters/2) would dominate the one-time cache build.
+    w, info = solve_mpc_log_utility_batch_polished(
+        cw, ys, params, cycles=3, continue_iters=2000
+    )
+    obj = _min_objective(np.asarray(w), ys, cw)
+    cache[key] = [float(v) for v in obj]
+    path.write_text(_json.dumps(cache, indent=1))
+    return obj
+
+
+def _probe_gap(solve_w, H, N):
+    """Median/p90 objective gap (min-form; > 0 = worse than the oracle)
+    of ``solve_w(cw, ys) -> w`` on the fixed probe set."""
+    import jax.numpy as jnp
+
+    cw, ys = _probe_instances(H, N)
+    oracle = _oracle_probe_objectives(H, N)
+    w = np.asarray(solve_w(jnp.asarray(cw), jnp.asarray(ys)))
+    gap = _min_objective(w, ys, cw) - oracle
+    return {
+        "objective_gap_median": float(np.median(gap)),
+        "objective_gap_p90": float(np.quantile(gap, 0.9)),
+        "objective_gap_max": float(np.max(gap)),
+        "probe_instances": _PROBE_SIZE,
+    }
 
 
 def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
-              adaptive=False):
+              adaptive=False, probe=True):
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +166,9 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
     # iteration budget (~1e-4 at 1000 iters). proj_refresh_every=16:
     # one warm Michelot sweep per PDHG iteration with a full refresh
     # every 16th (+9-23% across workloads; ~5e-5 weight-parity tail,
-    # objective unchanged — see RESULTS.md).
+    # objective unchanged — see RESULTS.md). Under ``adaptive`` the
+    # schedule is ignored by design (measured dead end, see
+    # ops/mpc_pallas.py body_adaptive).
     params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4,
                        proj_refresh_every=0 if adaptive else 16,
                        adaptive=adaptive)
@@ -77,24 +182,35 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
         w, info = solver(cw, ys, params)
         return info["converged"], jnp.sum(w)
 
+    @jax.jit
+    def solve_w(cw, ys):
+        return solver(cw, ys, params)[0]
+
     def make_problems(seed):
         r = np.random.default_rng(seed)
         cw = jnp.asarray(r.dirichlet(np.ones(N), size=batch), jnp.float32)
         ys = jnp.asarray(r.standard_normal((batch, H, N)) * 0.01 + 0.0005, jnp.float32)
         return cw, ys
 
-    best, (conv, _) = _timed(solve, make_problems, reps)
-    return {
-        "value": batch / best,
+    times, (conv, _) = _timed(solve, make_problems, reps)
+    res = {
+        **_time_stats(times, batch),
         "batch": batch,
         "H": H,
         "N": N,
         "pdhg_iters": iters,
-        "best_batch_time_s": round(best, 4),
         "converged_frac": float(np.mean(np.asarray(conv))),
         "solver": {"xla": "xla_scan",
                    "packed": "pallas_batch_in_lanes"}[solver_name],
+        "adaptive": adaptive,
     }
+    if probe:
+        # Solution quality at THIS solver setting: objective gap vs the
+        # cached f64 verified oracle on a fixed 64-instance probe — the
+        # accuracy being bought at this iteration budget rides in the
+        # same JSON as the throughput (round-2 VERDICT weak #2).
+        res.update(_probe_gap(solve_w, H, N))
+    return res
 
 
 def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
@@ -120,15 +236,14 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
         )
         return cw, scen
 
-    best, _ = _timed(lambda a, b: (solve(a, b),), make_problems, reps)
+    times, _ = _timed(lambda a, b: (solve(a, b),), make_problems, reps)
     return {
-        "value": batch / best,
+        **_time_stats(times, batch),
         "batch": batch,
         "scenarios": S,
         "H": H,
         "N": N,
         "pdhg_iters": iters,
-        "best_batch_time_s": round(best, 4),
     }
 
 
@@ -161,14 +276,13 @@ def bench_markowitz(batch, iters, reps, H=1, N=30):
         )
         return cw, mu, sig
 
-    best, (conv, _) = _timed(solve, make_problems, reps)
+    times, (conv, _) = _timed(solve, make_problems, reps)
     return {
-        "value": batch / best,
+        **_time_stats(times, batch),
         "batch": batch,
         "H": H,
         "N": N,
         "pdhg_iters": iters,
-        "best_batch_time_s": round(best, 4),
         "converged_frac": float(np.mean(np.asarray(conv))),
         "solver": "pallas_batch_in_lanes_mv",
     }
@@ -229,14 +343,12 @@ def bench_backtest(reps, n_dates=4096, n_assets=30, sweeps=8):
         hist = run()
         float(np.sum(np.asarray(hist["portfolio_value"])))
         times.append(time.perf_counter() - t0)
-    best = min(times)
     n = len(ts)
     return {
-        "value": n / best,
+        **_time_stats(times, n),
         "dates": n,
         "sweeps": sweeps,
         "mpc_solves_per_run": n * sweeps,
-        "best_run_time_s": round(best, 3),
     }
 
 
@@ -310,12 +422,36 @@ def bench_scaling(batch, iters, reps, n_devices=8):
     }
 
 
-def bench_train(reps, fused_steps=50, dtype="float32"):
+def _v5e_peak_flops():
+    """v5e MXU peak: 197 TFLOP/s bf16 (394 int8). Used as the MFU
+    denominator for BOTH dtypes — f32 matmuls run as multi-pass bf16 on
+    the MXU, so bf16 peak is the honest hardware ceiling either way."""
+    return 197e12
+
+
+def _step_flops(fn, *args):
+    """FLOPs of one jitted step from XLA's compiled cost analysis."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_train(reps, fused_steps=50, dtype="float32", batch=None):
     """finance_sparse training throughput: single-dispatch step (bounded
     by the ~30 ms relay latency here) and the fused multi-step program
     (STEPS_PER_DISPATCH; amortizes dispatch latency, identical numerics
     — tests/test_train.py proves bit-parity). ``dtype='bfloat16'`` runs
-    the TPU mixed-precision mode (cfg.TRAIN.DTYPE)."""
+    the TPU mixed-precision mode (cfg.TRAIN.DTYPE). ``batch`` overrides
+    the preset's B=64 (the reference default) for utilization studies —
+    B=64 is relay/overhead-bound, large batches show what the chip can
+    do on this model. Reports model FLOPs/step (XLA cost analysis) and
+    MFU vs the v5e bf16 peak (round-2 VERDICT weak #6)."""
     import jax
     import jax.numpy as jnp
 
@@ -329,6 +465,8 @@ def bench_train(reps, fused_steps=50, dtype="float32"):
 
     cfg = get_config("finance_sparse")
     cfg.TRAIN.DTYPE = dtype
+    if batch is not None:
+        cfg.TRAIN.BATCH_SIZE = batch
     obs = len(cfg.ENV.FINANCE.TICKERS) * cfg.ENV.FINANCE.EMBEDDING_DIM  # 400
     model = make_model(cfg, obs)
     B, T = cfg.TRAIN.BATCH_SIZE, cfg.TRAIN.SEQUENCE_LENGTH
@@ -347,6 +485,10 @@ def bench_train(reps, fused_steps=50, dtype="float32"):
         times.append(time.perf_counter() - t0)
     best_single = min(times)
 
+    # Model FLOPs per step from XLA's own cost analysis of the compiled
+    # single-step program (fwd + bwd + AdamW).
+    flops_step = _step_flops(step, state, x)
+
     # Fused multi-step program (synthetic standardized "returns" panel).
     data = jax.random.normal(jax.random.PRNGKey(2), (4096, obs), jnp.float32)
     state = init_train_state(cfg, model, jax.random.PRNGKey(0))
@@ -361,27 +503,39 @@ def bench_train(reps, fused_steps=50, dtype="float32"):
         float(metrics["loss"])
         times.append(time.perf_counter() - t0)
         start += fused_steps
-    best_fused = min(times) / fused_steps
+    med_fused = float(np.median(times)) / fused_steps
+    steps_per_s = 1.0 / med_fused
 
-    return {
-        "value": 1.0 / best_fused,
-        "unit_note": "train steps/s (finance_sparse: B=64, obs=400, z=1024, "
-                     f"T=10; fused {fused_steps} steps/dispatch)",
+    out = {
+        "value": steps_per_s,
+        "reps": reps,
+        "unit_note": f"train steps/s (finance_sparse: B={B}, obs={obs}, "
+                     f"z={cfg.MODEL.TARGET_SIZE}, T={T}; fused "
+                     f"{fused_steps} steps/dispatch; median of reps)",
         "dtype": dtype,
-        "best_fused_step_time_s": round(best_fused, 5),
+        "batch": B,
+        "median_fused_step_time_s": round(med_fused, 5),
+        "best_fused_step_time_s": round(min(times) / fused_steps, 5),
         "single_dispatch_steps_per_s": round(1.0 / best_single, 1),
         "best_single_step_time_s": round(best_single, 5),
     }
+    if flops_step:
+        out["model_flops_per_step"] = flops_step
+        out["mfu_pct_vs_v5e_bf16_peak"] = round(
+            100.0 * flops_step * steps_per_s / _v5e_peak_flops(), 2
+        )
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", type=str, default="mpc",
-                    choices=["mpc", "long", "scenario", "assets500", "train",
-                             "backtest", "scaling", "markowitz"])
+                    choices=["mpc", "accurate", "long", "scenario",
+                             "assets500", "train", "backtest", "scaling",
+                             "markowitz"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=1000)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--devices", type=int, default=8,
                     help="virtual CPU devices for --mode scaling")
     ap.add_argument("--dtype", type=str, default="float32",
@@ -408,6 +562,25 @@ def main():
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30"
         if args.adaptive:
             metric += "_adaptive"
+        else:
+            # Matched-accuracy co-headline in the same JSON line: the
+            # adaptive solver at the budget whose probe objective gap is
+            # at reference accuracy (<= 1e-4; ECOS solves the per-date
+            # program to ~1e-8, reference: mpc.py:107-111 — see
+            # RESULTS.md "accuracy ladder").
+            acc = bench_mpc(args.batch or 8192, args.iters, args.reps,
+                            adaptive=True)
+            res["accurate_solves_per_s"] = round(acc["value"], 1)
+            res["accurate_objective_gap_median"] = acc[
+                "objective_gap_median"]
+            res["accurate_pdhg_iters"] = acc["pdhg_iters"]
+            res["accurate_spread_pct"] = acc["spread_pct"]
+    elif args.mode == "accurate":
+        # Reference-accuracy headline: residual-balancing adaptive PDHG
+        # (objective gap <= 1e-4 at 1000 iterations, see RESULTS.md).
+        res = bench_mpc(args.batch or 8192, args.iters, args.reps,
+                        adaptive=True)
+        metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30_accurate"
     elif args.mode == "long":
         res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20, N=30)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
@@ -436,8 +609,10 @@ def main():
         metric = f"spmd_partitioning_efficiency_virtual{args.devices}_cpu_mesh"
         baseline = 0.8  # >=80% scaling-efficiency north star (proxy)
     else:  # train
-        res = bench_train(args.reps, dtype=args.dtype)
+        res = bench_train(args.reps, dtype=args.dtype, batch=args.batch)
         metric = "finance_sparse_train_steps_per_s"
+        if args.batch:
+            metric += f"_B{args.batch}"
         if args.dtype != "float32":
             metric += f"_{args.dtype}"
         baseline = 1.0  # no reference number; report raw

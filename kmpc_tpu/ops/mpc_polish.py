@@ -55,10 +55,12 @@ PDHG iterations + exact feasibility restoration instead.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kmpc_tpu.ops.mpc import (
     MPCParams,
@@ -82,6 +84,18 @@ def _proj_simplex_with_jac(v):
     return w, active
 
 
+def _proj_simplex_with_margin(v):
+    """Simplex projection + per-component kink margin v - theta.
+
+    The generalized Jacobian's active set is ``margin > 0``; components
+    with |margin| ~ 0 sit AT the projection kink, where the
+    B-subdifferential contains both the include and exclude elements —
+    the kink-aware Newton tries both sides (see polish_log_utility).
+    """
+    theta = _simplex_threshold(v, 1.0)
+    return jnp.maximum(v - theta, 0.0), v - theta
+
+
 def _apply_P_jac(active, x):
     """Apply P'(v) = diag(a) - a a'/|a| row-wise to x [..., H, N]."""
     cnt = jnp.maximum(jnp.sum(active, axis=-1, keepdims=True), 1.0)
@@ -89,27 +103,66 @@ def _apply_P_jac(active, x):
     return ax - active * (jnp.sum(ax, axis=-1, keepdims=True) / cnt)
 
 
-def _Q_with_jac(q, sigma, c, tau_to):
-    """Dual prox Q(q) and the masks needed for Q' (see module docstring)."""
+def _Q_with_margins(q, sigma, c, tau_to):
+    """Dual prox Q(q) + the kink margins that define its generalized
+    Jacobian (see module docstring).
+
+    Returns ``(Q, margins)`` with margins = dict(ms, ma, mo, dir):
+        ms  [..., H, N]  shrink margin |u| - c/sigma (kink at 0)
+        ma  [..., H, N]  ball active-set margin a - theta (kink at 0)
+        mo  [..., H, 1]  ball boundary margin l1 - tau_to (kink at 0)
+        dir [..., H, N]  rank-1 direction: sign(y), falling back to
+                         sign(u) exactly at the shrink kink (y == 0)
+    The nominal Jacobian masks are ``margin > 0`` (see _dual_masks);
+    flipping components with |margin| <= eps selects a different —
+    equally valid — element of the B-subdifferential at the kink.
+    """
     u = q / sigma
-    s = (jnp.abs(u) > c / sigma).astype(q.dtype)
-    y = jnp.sign(u) * jnp.maximum(jnp.abs(u) - c / sigma, 0.0)
+    ms = jnp.abs(u) - c / sigma
+    y = jnp.sign(u) * jnp.maximum(ms, 0.0)
     if tau_to > 0:
         a = jnp.abs(y)
         l1 = jnp.sum(a, axis=-1, keepdims=True)
         theta = jnp.maximum(_simplex_threshold(a, tau_to), 0.0)
-        z_out = jnp.sign(y) * jnp.maximum(a - theta, 0.0)
-        outside = (l1 > tau_to).astype(q.dtype)
-        z = jnp.where(outside > 0, z_out, y)
-        act = (a - theta > 0.0).astype(q.dtype) * outside + s * (1.0 - outside)
-        sgn = jnp.sign(y) * act
+        ma = a - theta
+        mo = l1 - tau_to
+        z = jnp.where(mo > 0, jnp.sign(y) * jnp.maximum(ma, 0.0), y)
     else:
+        ma = ms
+        mo = jnp.full_like(q[..., :1], -1.0)  # never outside
         z = y
-        outside = jnp.zeros_like(q[..., :1])
-        act = s
-        sgn = jnp.zeros_like(q)
     Q = q - sigma * z
+    dir_ = jnp.where(y != 0, jnp.sign(y), jnp.sign(u))
+    return Q, {"ms": ms, "ma": ma, "mo": mo, "dir": dir_}
+
+
+def _Q_with_jac(q, sigma, c, tau_to):
+    """Dual prox Q(q) and the NOMINAL (one-sided, eps=0) Jacobian masks
+    (s, act, sgn, outside) — see _Q_with_margins/_dual_masks for the
+    kink-aware elements."""
+    Q, margins = _Q_with_margins(q, sigma, c, tau_to)
+    s, act, sgn, outside = _dual_masks(margins, 0.0, tau_to)
     return Q, s, act, sgn, outside
+
+
+def _dual_masks(margins, eps, tau_to):
+    """Jacobian masks (s, act, sgn, outside) from kink margins.
+
+    ``eps`` shifts every kink decision: 0 reproduces the nominal
+    one-sided element; -e treats components within e of a kink as
+    active/outside (EXPAND); +e as inactive/inside (SHRINK).
+    """
+    ms, ma, mo, dir_ = (margins[k] for k in ("ms", "ma", "mo", "dir"))
+    dtype = ms.dtype
+    s = (ms > eps).astype(dtype)
+    if tau_to > 0:
+        outside = (mo > eps).astype(dtype)
+        act = (ma > eps).astype(dtype) * outside + s * (1.0 - outside)
+    else:
+        outside = jnp.zeros_like(mo)
+        act = s
+    sgn = dir_ * act * outside
+    return s, act, sgn, outside
 
 
 def _apply_B_jac(s, act, sgn, outside, x):
@@ -124,6 +177,278 @@ def _apply_B_jac(s, act, sgn, outside, x):
     return jnp.where(outside > 0, proj, sx)
 
 
+@lru_cache(maxsize=32)
+def _as_newton_solver(H, N, c, tau_to, ridge, num_newton, dtype_str):
+    """Jitted, vmapped inner Newton solver for the active-set KKT system.
+
+    Built ONCE per (shape, constants) signature and cached: the pattern
+    loop calls it ~10 times per polish and a fresh ``jax.vmap`` closure
+    each round would recompile the scan+SVD program every call (measured:
+    compilation dominated the polish by >10x before caching).
+    """
+    import numpy as _np
+
+    dtype = _np.dtype(dtype_str)
+    m = H * N
+
+    def F(x, r_, w_init_, S_, A_, sgn_, B_):
+        w_ = x[:m].reshape(H, N)
+        q_ = x[m : 2 * m].reshape(H, N)
+        lam = x[2 * m : 2 * m + H]
+        kap = x[2 * m + H :]
+        port_ = jnp.sum(w_ * r_, axis=-1, keepdims=True)
+        grad_ = -r_ / jnp.maximum(port_, 1e-12) + ridge * w_
+        prev = jnp.concatenate([w_init_[None, :], w_[:-1]], axis=0)
+        u_ = w_ - prev
+        nxt = jnp.concatenate([q_[1:], jnp.zeros_like(q_[:1])], axis=0)
+        Dtq = q_ - nxt
+        F1 = S_ * (grad_ + Dtq - lam[:, None]) + (1.0 - S_) * w_
+        F2 = A_ * (q_ - (c + kap[:, None]) * sgn_) + (1.0 - A_) * u_
+        F3 = jnp.sum(w_, axis=-1) - 1.0
+        F4 = B_ * (jnp.sum(sgn_ * u_, axis=-1) - tau_to) + (1.0 - B_) * kap
+        return jnp.concatenate([F1.ravel(), F2.ravel(), F3, F4])
+
+    def solve_one(x, r_, w_init_, S_, A_, sgn_, B_):
+        def Fn(x):
+            return F(x, r_, w_init_, S_, A_, sgn_, B_)
+
+        def body(x, _):
+            Fx = Fn(x)
+            J = jax.jacfwd(Fn)(x)
+            # Min-norm Newton step (SVD lstsq): the system is STRUCTURALLY
+            # singular on no-trade dates — a date whose entire sign
+            # pattern is zero forces u_t = 0, making the simplex-sum row
+            # redundant and leaving a (q_t, lambda_t) <- (q_t + a,
+            # lambda_t + a) null direction. A plain LU walks arbitrarily
+            # far along it (blown-up duals that fail the subgradient
+            # box); the min-norm step keeps the null component at zero,
+            # and ANY exact KKT q inside the box is an exact PDHG fixed
+            # point, so minimal q is certifiable.
+            delta, _, _, _ = jnp.linalg.lstsq(J, Fx, rcond=1e-12)
+            # Backtracking on ||F||: the full step can drive the
+            # portfolio return w.r through zero, where grad g blows up
+            # and the iteration diverges — branch-free ladder keeps the
+            # best decrease and stays put when nothing improves.
+            f0 = jnp.linalg.norm(Fx)
+            x_best, f_best = x, f0
+            for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625):
+                x_try = x - alpha * delta
+                f_try = jnp.linalg.norm(Fn(x_try))
+                take = jnp.isfinite(f_try) & (f_try < f_best)
+                x_best = jnp.where(take, x_try, x_best)
+                f_best = jnp.where(take, f_try, f_best)
+            return x_best, None
+
+        x, _ = jax.lax.scan(body, x, None, length=num_newton)
+        return x
+
+    return jax.jit(jax.vmap(solve_one))
+
+
+def _active_set_newton(
+    w: jax.Array,
+    p: jax.Array,
+    r: jax.Array,
+    w_init: jax.Array,
+    params: MPCParams,
+    num_newton: int = 4,
+    num_pattern: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve the KKT system exactly on the active set guessed from (w, p).
+
+    The semismooth-Newton-on-the-residual-map stall mode (realistic
+    instances: near-zero-return dates park MANY components at active-set
+    kinks simultaneously) disappears when the pattern is FIXED: on a
+    guessed (support S, turnover sign pattern sigma, ball boundary set B)
+    the KKT conditions are a SQUARE SMOOTH system in (w, q, lambda,
+    kappa) —
+
+        i in S_t:      grad g(w)_ti + (D'q)_ti - lambda_t = 0
+        i not in S_t:  w_ti = 0
+        sigma_ti != 0: q_ti - (c + kappa_t) sigma_ti = 0
+        sigma_ti == 0: u_ti = 0                (u = D w - b)
+        all t:         sum_i w_ti = 1
+        t in B:        sum_i sigma_ti u_ti = tau_to   else  kappa_t = 0
+
+    — which plain Newton (exact Jacobian via jacfwd, batched) drives to
+    machine precision in a few steps; an exact KKT point is an exact
+    PDHG fixed point, so the caller's residual-acceptance test certifies
+    it. Pattern guesses: S from the projected iterate's support; the
+    ball multiplier kappa_t from max_i |p_ti| - c; sigma_ti nonzero
+    where |p_ti| is within ``tol_q`` of its bound c + kappa_t (an
+    l1-subgradient strictly inside the box means u_ti = 0). Wrong
+    guesses produce a worse residual and are rejected per problem —
+    later PDHG<->Newton cycles retry with refreshed iterates.
+
+    Returns (w*, q*) with the caller's batch shape.
+    """
+    dtype = w.dtype
+    c = params.cost_coeff
+    tau_to = params.max_turnover
+    ridge = params.ridge
+    H, N = w.shape[-2:]
+    m = H * N
+    batch_shape = w.shape[:-2]
+
+    # --- Pattern guesses (per problem) ---
+    # Primal signals, not dual: under the degenerate complementarity of
+    # near-zero-return dates the dual components cluster exactly AT the
+    # subgradient bound while their trades are zero, so a dual-threshold
+    # sign pattern misclassifies en masse. The primal trade u is clean:
+    # true trades are O(1e-2..1e-1), spurious residual trades O(1e-5).
+    # The support comes from the PROJECTED iterate P(w - tau(grad+D'p)):
+    # a line-searched Newton iterate has no exact zeros, so w > 0 would
+    # be all-ones there.
+    r_norm2 = jnp.sum(r * r, axis=-1)
+    r_min = jnp.min(r, axis=-1)
+    L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)
+    L = L[..., None, None] + ridge
+    sigma_cv = params.sigma_scale * jnp.sqrt(L) / 2.0
+    tau_cv = params.step_scale / (0.5 * L + sigma_cv * 4.0)
+    port0 = jnp.sum(w * r, axis=-1, keepdims=True)
+    grad0 = -r / jnp.maximum(port0, 1e-12) + ridge * w
+    vw0 = w - tau_cv * (grad0 + _apply_Dt(p))
+    w_proj, _ = _proj_simplex_with_margin(vw0)
+    S = (w_proj > 0.0).astype(dtype)                          # support
+    w = w_proj                                                # Newton start
+    u0 = _apply_D(w, w_init)
+    # tol_u separates true trades from PDHG residual noise (~1e-7 after
+    # a converged solve). It must be SMALL: realistic drifted pre-trade
+    # weights carry tiny positions, and selling one to zero is a true
+    # trade of size w_init_i ~ 1e-5 — classifying it as zero-trade makes
+    # the equality system INCONSISTENT (support says w=0, sign pattern
+    # says w = w_prev > 0). Components that leave the support are
+    # additionally FORCED into the sign pattern outright.
+    tol_u = 1e-6
+    prev_sup = jnp.concatenate(
+        [(w_init > 0.0)[..., None, :].astype(dtype), S[..., :-1, :]],
+        axis=-2,
+    )
+    # Support transitions force a trade in EITHER direction: selling a
+    # position to zero (prev in, now out: u = -w_prev) and entering from
+    # zero (prev out, now in: u = +w_t) are true trades even when their
+    # magnitude is below tol_u — classifying them zero-trade would pin
+    # w_t = w_prev against the support, an inconsistent system.
+    forced_leave = (S == 0.0) & (prev_sup > 0.0)
+    forced_enter = (S > 0.0) & (prev_sup == 0.0)
+    A = ((jnp.abs(u0) > tol_u) | forced_leave
+         | forced_enter).astype(dtype)                        # sigma != 0
+    default_sign = jnp.where(forced_enter, 1.0, -1.0)
+    sgn = jnp.where(jnp.abs(u0) > 0, jnp.sign(u0), default_sign) * A
+    kappa0 = jnp.maximum(jnp.max(jnp.abs(p), axis=-1) - c, 0.0)  # [..., H]
+    if tau_to > 0:
+        l1_u = jnp.sum(jnp.abs(u0), axis=-1)
+        Bmask = (l1_u >= tau_to * (1.0 - 1e-3)).astype(dtype)  # [..., H]
+        kappa0 = kappa0 * Bmask
+    else:
+        Bmask = jnp.zeros_like(kappa0)
+        kappa0 = jnp.zeros_like(kappa0)
+
+    # lambda_0 from stationarity averaged over the support.
+    port = jnp.sum(w * r, axis=-1, keepdims=True)
+    grad = -r / jnp.maximum(port, 1e-12) + ridge * w
+    stat = grad + _apply_Dt(p)
+    lam0 = jnp.sum(S * stat, axis=-1) / jnp.maximum(
+        jnp.sum(S, axis=-1), 1.0
+    )                                                         # [..., H]
+
+    flat = lambda a: a.reshape(batch_shape + (-1,))           # noqa: E731
+    x0 = jnp.concatenate(
+        [flat(w), flat(p), lam0, kappa0], axis=-1
+    )                                                         # [..., 2m+2H]
+
+    solver = _as_newton_solver(
+        H, N, float(c), float(tau_to), float(ridge), num_newton, str(dtype)
+    )
+
+    nb = int(np.prod(batch_shape)) if batch_shape else 1
+    rb = r.reshape(nb, H, N)
+    wib = w_init.reshape(nb, N)
+    x = x0.reshape(nb, -1)
+    S = S.reshape(nb, H, N)
+    A = A.reshape(nb, H, N)
+    sgn = sgn.reshape(nb, H, N)
+    Bmask = Bmask.reshape(nb, H)
+    tol = 1e-9
+
+    # PDHG fixed-point residual (the caller's certificate) used to track
+    # the best iterate across pattern rounds — flip-all active-set
+    # updates can oscillate between near-optimal patterns, so the FINAL
+    # round is not always the best one.
+    sig_b = sigma_cv.reshape(nb, 1, 1)
+    tau_b = tau_cv.reshape(nb, 1, 1)
+
+    def _pdhg_res(w_, q_):
+        port_ = jnp.sum(w_ * rb, axis=-1, keepdims=True)
+        grad_ = -rb / jnp.maximum(port_, 1e-12) + ridge * w_
+        nxt = jnp.concatenate([q_[:, 1:], jnp.zeros_like(q_[:, :1])], axis=1)
+        vw_ = w_ - tau_b * (grad_ + (q_ - nxt))
+        Pw_, _ = _proj_simplex_with_margin(vw_)
+        prev = jnp.concatenate([wib[:, None, :], w_[:, :-1]], axis=1)
+        vp_ = q_ + sig_b * (w_ - prev)
+        Qp_, _ = _Q_with_margins(vp_, sig_b, c, tau_to)
+        return jnp.sqrt(jnp.sum((w_ - Pw_) ** 2, axis=(-2, -1))
+                        + jnp.sum((q_ - Qp_) ** 2, axis=(-2, -1)))
+
+    best_res = jnp.full((nb,), jnp.inf, dtype)
+    best_w = x[:, :m].reshape(nb, H, N)
+    best_q = x[:, m : 2 * m].reshape(nb, H, N)
+
+    # Active-set iteration: solve the equality system on the pattern,
+    # then update the pattern from the solution's sign violations
+    # (negative supported weights leave S; nonsupport components with
+    # negative multipliers enter; traded components whose sign flipped
+    # leave the sign pattern; zero-trade components whose subgradient
+    # escaped the box enter with the subgradient's sign; the ball
+    # (de)activates on kappa < 0 / l1 > tau) — the classic primal-dual
+    # active-set loop, batched as mask updates, keeping the
+    # best-residual iterate seen (flip-all updates can cycle).
+    for _ in range(num_pattern):
+        x = solver(x, rb, wib, S, A, sgn, Bmask)
+        w_ = x[:, :m].reshape(nb, H, N)
+        q_ = x[:, m : 2 * m].reshape(nb, H, N)
+        lam_ = x[:, 2 * m : 2 * m + H]
+        kap_ = x[:, 2 * m + H :]
+        res_ = _pdhg_res(w_, q_)
+        take = jnp.isfinite(res_) & (res_ < best_res)
+        best_res = jnp.where(take, res_, best_res)
+        best_w = jnp.where(take[:, None, None], w_, best_w)
+        best_q = jnp.where(take[:, None, None], q_, best_q)
+
+        port_ = jnp.sum(w_ * rb, axis=-1, keepdims=True)
+        grad_ = -rb / jnp.maximum(port_, 1e-12) + ridge * w_
+        nxt = jnp.concatenate([q_[:, 1:], jnp.zeros_like(q_[:, :1])], axis=1)
+        stat = grad_ + (q_ - nxt)
+        mu = stat - lam_[..., None]       # nonsupport multiplier (>= 0)
+        prev = jnp.concatenate([wib[:, None, :], w_[:, :-1]], axis=1)
+        u_ = w_ - prev
+        bound_ = c + kap_[..., None]
+
+        S = jnp.where(S > 0, (w_ > -tol).astype(dtype),
+                      (mu < -tol).astype(dtype))
+        sign_ok = (jnp.sign(u_) == jnp.sign(sgn)) | (jnp.abs(u_) <= tol)
+        A_new = jnp.where(
+            A > 0,
+            sign_ok.astype(dtype) * (jnp.abs(u_) > tol).astype(dtype),
+            (jnp.abs(q_) > bound_ * (1.0 + 1e-9) + tol).astype(dtype),
+        )
+        sgn = jnp.where(A > 0, sgn * A_new, jnp.sign(q_) * A_new)
+        A = A_new
+        if tau_to > 0:
+            l1_ = jnp.sum(jnp.abs(u_), axis=-1)
+            Bmask = jnp.where(Bmask > 0, (kap_ > -tol).astype(dtype),
+                              (l1_ > tau_to + tol).astype(dtype))
+
+    x = solver(x, rb, wib, S, A, sgn, Bmask)
+    w_ = x[:, :m].reshape(nb, H, N)
+    q_ = x[:, m : 2 * m].reshape(nb, H, N)
+    res_ = _pdhg_res(w_, q_)
+    take = jnp.isfinite(res_) & (res_ < best_res)
+    best_w = jnp.where(take[:, None, None], w_, best_w)
+    best_q = jnp.where(take[:, None, None], q_, best_q)
+    return best_w.reshape(w.shape), best_q.reshape(p.shape)
+
+
 def polish_log_utility(
     w: jax.Array,
     p: jax.Array,
@@ -132,12 +457,25 @@ def polish_log_utility(
     params: MPCParams,
     num_newton: int = 4,
     damping: float = 1e-7,
+    kink_aware: bool = True,
+    kink_scale: float = 3.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Damped semismooth-Newton refinement of a PDHG iterate.
 
     Args:
         w, p: primal/dual iterates [..., H, N] from the PDHG solver.
         current_weights: [..., N]; predicted_log_returns: [..., H, N].
+        kink_aware: enable the round-3 certification machinery for the
+            realistic-instance stall (iterates parked at primal AND
+            turnover-ball active-set boundaries, round-2 VERDICT weak
+            #5): (a) an ACTIVE-SET NEWTON candidate before the
+            semismooth rounds (exact KKT solve on the pattern guessed
+            from the iterate, _active_set_newton), and (b) per Newton
+            round, the EXPAND/SHRINK B-subdifferential elements
+            (active-set margins within ``kink_scale * residual`` of a
+            kink flipped to the other side), keeping the per-problem
+            best step. Measured certification numbers: RESULTS.md
+            "Measured parity CDF".
     Returns:
         (w_polished, info) — per-problem ``residual_before/after``, an
         ``accepted`` mask, and ``info['dual']``: the polished dual
@@ -163,17 +501,23 @@ def polish_log_utility(
     c = params.cost_coeff
     tau_to = params.max_turnover
 
-    def residual_and_masks(w, p):
+    def residual_and_margins(w, p):
         port = jnp.sum(w * r, axis=-1, keepdims=True)
         grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
         vw = w - tau * (grad + _apply_Dt(p))
-        Pw, a = _proj_simplex_with_jac(vw)
+        Pw, mw = _proj_simplex_with_margin(vw)
         Rw = w - Pw
         vp = p + sigma * _apply_D(w, w_init)
-        Qp, s, act, sgn, outside = _Q_with_jac(vp, sigma, c, tau_to)
+        Qp, dmarg = _Q_with_margins(vp, sigma, c, tau_to)
         Rp = p - Qp
-        masks = (a, s, act, sgn, outside, port, grad)
-        return Rw, Rp, masks
+        return Rw, Rp, {"mw": mw, "port": port, **dmarg}
+
+    def masks_from_margins(margins, eps):
+        # eps = 0: the nominal one-sided B-subdifferential element;
+        # -e / +e: the EXPAND / SHRINK elements at near-kink components.
+        a = (margins["mw"] > eps).astype(dtype)
+        s, act, sgn, outside = _dual_masks(margins, eps, tau_to)
+        return (a, s, act, sgn, outside, margins["port"], None)
 
     def hess_g_apply(port, x):
         """H_g x per row: (r r' / port^2) x + ridge x."""
@@ -214,52 +558,115 @@ def polish_log_utility(
         # -> [..., 2m(out), 2m(in)]
         return jnp.moveaxis(cols, 0, -1)
 
-    accepted_any = jnp.zeros(batch_shape, bool)
-    Rw0, Rp0, _ = residual_and_masks(w, p)
-    res0 = jnp.sqrt(
-        jnp.sum(Rw0**2, axis=(-2, -1)) + jnp.sum(Rp0**2, axis=(-2, -1))
-    )
-
-    w_cur, p_cur = w, p
-    for _ in range(num_newton):
-        Rw, Rp, masks = residual_and_masks(w_cur, p_cur)
-        res = jnp.sqrt(
+    def res_norm(Rw, Rp):
+        return jnp.sqrt(
             jnp.sum(Rw**2, axis=(-2, -1)) + jnp.sum(Rp**2, axis=(-2, -1))
         )
+
+    def newton_delta(masks, Rw, Rp, res):
         J = build_dense_J(masks)
-        Jd = J + damping * jnp.eye(2 * m, dtype=dtype)
+        # Residual-scaled Levenberg damping: a FIXED lambda caps the
+        # achievable residual at ~lambda/sigma_min on degenerate faces
+        # (observed stall at 1e-9..1e-8 with lambda=1e-7); shrinking it
+        # with the residual restores superlinear convergence to 1e-15
+        # while keeping early far-from-solution steps damped.
+        lam = jnp.minimum(damping, 0.1 * res)[..., None, None]
+        Jd = J + lam * jnp.eye(2 * m, dtype=dtype)
         rhs = -jnp.concatenate(
             [Rw.reshape(batch_shape + (m,)), Rp.reshape(batch_shape + (m,))],
             axis=-1,
         )
         delta = jnp.linalg.solve(Jd, rhs[..., None])[..., 0]    # [..., 2m]
-        dw = delta[..., :m].reshape(w_cur.shape)
-        dp = delta[..., m:].reshape(p_cur.shape)
+        return (delta[..., :m].reshape(w.shape),
+                delta[..., m:].reshape(p.shape))
+
+    accepted_any = jnp.zeros(batch_shape, bool)
+    Rw0, Rp0, _ = residual_and_margins(w, p)
+    res0 = res_norm(Rw0, Rp0)
+
+    w_cur, p_cur = w, p
+    if kink_aware:
+        # Active-set Newton candidate FIRST: exact KKT solve on the
+        # pattern guessed from the PDHG iterate (see _active_set_newton).
+        # An exact KKT point is an exact PDHG fixed point, so the
+        # residual acceptance certifies it; wrong pattern guesses simply
+        # lose the comparison. Running it before the semismooth rounds
+        # lets them finish off its point superlinearly when the inner
+        # Newton stopped at ~1e-8.
+        w_as, p_as = _active_set_newton(w_cur, p_cur, r, w_init, params)
+        Rw_a, Rp_a, _ = residual_and_margins(w_as, p_as)
+        res_a = res_norm(Rw_a, Rp_a)
+        better = jnp.isfinite(res_a) & (res_a < res0)
+        sel = better[..., None, None]
+        w_cur = jnp.where(sel, w_as, w_cur)
+        p_cur = jnp.where(sel, p_as, p_cur)
+        accepted_any = accepted_any | better
+
+    for _ in range(num_newton):
+        Rw, Rp, margins = residual_and_margins(w_cur, p_cur)
+        res = res_norm(Rw, Rp)
+
+        # Candidate Newton steps. The nominal candidate samples the
+        # one-sided B-subdifferential element (margins > 0). When the
+        # iterate sits within O(residual) of a kink — the stall mode on
+        # realistic instances: near-zero-return dates park the primal
+        # support AND the turnover-ball dual at active-set boundaries —
+        # that element extrapolates from the wrong side of the kink and
+        # the line search stalls at the kink scale. The EXPAND / SHRINK
+        # candidates flip every margin within eps = kink_scale * res of
+        # its kink to the other side — equally valid subdifferential
+        # elements whose step crosses the kink; the per-problem
+        # acceptance keeps whichever candidate's residual is lowest.
+        if kink_aware:
+            eps = jnp.minimum(
+                kink_scale * res, jnp.asarray(1e-3, dtype)
+            )[..., None, None]
+            eps_list = [jnp.zeros_like(eps), -eps, eps]
+        else:
+            eps_list = [jnp.zeros_like(res)[..., None, None]]
+        cands = [
+            newton_delta(masks_from_margins(margins, e), Rw, Rp, res)
+            for e in eps_list
+        ]
 
         # Backtracking line search, branch-free: evaluate the residual at
-        # a fixed ladder of step sizes and keep the per-problem best. The
-        # full step's quadratic basin is tiny when the active set is
-        # about to change (semismooth kink crossings); shorter steps walk
-        # the iterate into the basin, after which a later full step
-        # converges superlinearly.
+        # a fixed ladder of step sizes for EVERY candidate and keep the
+        # per-problem best. The full step's quadratic basin is tiny when
+        # the active set is about to change (semismooth kink crossings);
+        # shorter steps walk the iterate into the basin, after which a
+        # later full step converges superlinearly.
         res_best = res
         w_best, p_best = w_cur, p_cur
-        for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625):
-            w_try = w_cur + alpha * dw
-            p_try = p_cur + alpha * dp
-            Rw_t, Rp_t, _ = residual_and_masks(w_try, p_try)
-            res_t = jnp.sqrt(
-                jnp.sum(Rw_t**2, axis=(-2, -1))
-                + jnp.sum(Rp_t**2, axis=(-2, -1))
-            )
-            better = jnp.isfinite(res_t) & (res_t < res_best)
-            sel = better[..., None, None]
-            w_best = jnp.where(sel, w_try, w_best)
-            p_best = jnp.where(sel, p_try, p_best)
-            res_best = jnp.where(better, res_t, res_best)
+        for dw, dp in cands:
+            for alpha in (1.0, 0.5, 0.25, 0.125, 0.0625):
+                w_try = w_cur + alpha * dw
+                p_try = p_cur + alpha * dp
+                Rw_t, Rp_t, _ = residual_and_margins(w_try, p_try)
+                res_t = res_norm(Rw_t, Rp_t)
+                better = jnp.isfinite(res_t) & (res_t < res_best)
+                sel = better[..., None, None]
+                w_best = jnp.where(sel, w_try, w_best)
+                p_best = jnp.where(sel, p_try, p_best)
+                res_best = jnp.where(better, res_t, res_best)
         ok = res_best < res
         accepted_any = accepted_any | ok
         w_cur, p_cur = w_best, p_best
+
+    if kink_aware:
+        # Second active-set attempt from the post-semismooth point: the
+        # Newton rounds often settle a cleaner pattern than the raw PDHG
+        # iterate, so the KKT solve gets a second, better-informed guess
+        # (cheap: the inner solver is compile-cached).
+        Rw_c, Rp_c, _ = residual_and_margins(w_cur, p_cur)
+        res_c = res_norm(Rw_c, Rp_c)
+        w_as, p_as = _active_set_newton(w_cur, p_cur, r, w_init, params)
+        Rw_a, Rp_a, _ = residual_and_margins(w_as, p_as)
+        res_a = res_norm(Rw_a, Rp_a)
+        better = jnp.isfinite(res_a) & (res_a < res_c)
+        sel = better[..., None, None]
+        w_cur = jnp.where(sel, w_as, w_cur)
+        p_cur = jnp.where(sel, p_as, p_cur)
+        accepted_any = accepted_any | better
 
     # Final projection maps polished primal-dual iterates back to a
     # primal-feasible point; problems where every Newton step was
@@ -273,10 +680,8 @@ def polish_log_utility(
     w_out = jnp.where(accepted_any[..., None, None], w_proj, w)
     p_out = jnp.where(accepted_any[..., None, None], p_cur, p)
 
-    Rw_f, Rp_f, _ = residual_and_masks(w_cur, p_cur)
-    res_f = jnp.sqrt(
-        jnp.sum(Rw_f**2, axis=(-2, -1)) + jnp.sum(Rp_f**2, axis=(-2, -1))
-    )
+    Rw_f, Rp_f, _ = residual_and_margins(w_cur, p_cur)
+    res_f = res_norm(Rw_f, Rp_f)
     info = {
         "residual_before": res0,
         "residual_after": res_f,
