@@ -403,6 +403,13 @@ def _active_set_newton(
     # (de)activates on kappa < 0 / l1 > tau) — the classic primal-dual
     # active-set loop, batched as mask updates, keeping the
     # best-residual iterate seen (flip-all updates can cycle).
+    # HOST EARLY STOP (round 3): each round costs a batched
+    # 4-Newton-step scan with an SVD lstsq per step — the dominant cost
+    # of the whole verified path — and on most instances the pattern
+    # fixes after 2-3 rounds. The loop exits as soon as every mask is
+    # unchanged from the previous round (the next solve would be
+    # identical) or every problem is at certificate precision.
+    prev_masks = None
     for _ in range(num_pattern):
         x = solver(x, rb, wib, S, A, sgn, Bmask)
         w_ = x[:, :m].reshape(nb, H, N)
@@ -438,6 +445,16 @@ def _active_set_newton(
             l1_ = jnp.sum(jnp.abs(u_), axis=-1)
             Bmask = jnp.where(Bmask > 0, (kap_ > -tol).astype(dtype),
                               (l1_ > tau_to + tol).astype(dtype))
+
+        if bool(jnp.all(best_res < 1e-13)):
+            break
+        cur_masks = (S, A, sgn, Bmask)
+        if prev_masks is not None and all(
+            bool(jnp.array_equal(a, b))
+            for a, b in zip(cur_masks, prev_masks)
+        ):
+            break
+        prev_masks = cur_masks
 
     x = solver(x, rb, wib, S, A, sgn, Bmask)
     w_ = x[:, :m].reshape(nb, H, N)
@@ -563,6 +580,38 @@ def polish_log_utility(
             jnp.sum(Rw**2, axis=(-2, -1)) + jnp.sum(Rp**2, axis=(-2, -1))
         )
 
+    def _minnorm_solve(J, rhs, rcond=1e-12):
+        """Batched min-norm least-squares solve via SVD (jnp.linalg.lstsq
+        does not batch). Null components of a singular J get a zero step
+        instead of the damped solve's lam-limited drift."""
+        U, s, Vh = jnp.linalg.svd(J, full_matrices=False)
+        cutoff = rcond * s[..., :1]
+        sinv = jnp.where(s > cutoff, 1.0 / jnp.maximum(s, 1e-300), 0.0)
+        t = sinv * jnp.einsum("...ik,...i->...k", U, rhs)
+        return jnp.einsum("...ki,...k->...i", Vh, t)
+
+    def newton_delta_minnorm(masks, Rw, Rp):
+        """Min-norm semismooth step on the UNDAMPED nominal Jacobian.
+
+        The weak-complementarity stall (turnover ball exactly active
+        with kappa = 0): every B-subdifferential element is singular
+        along the boundary-degenerate direction, so the damped solve's
+        step is floor-limited at ~lam scale and the residual parks at
+        1e-10..1e-7. The pseudoinverse step moves only in range(J) —
+        exactly the component the residual actually lives in near the
+        solution manifold — and restores convergence to certificate
+        precision. Only invoked in the stall regime (host gate in the
+        Newton loop): one batched [2m, 2m] SVD per round.
+        """
+        J = build_dense_J(masks)
+        rhs = -jnp.concatenate(
+            [Rw.reshape(batch_shape + (m,)), Rp.reshape(batch_shape + (m,))],
+            axis=-1,
+        )
+        delta = _minnorm_solve(J, rhs)
+        return (delta[..., :m].reshape(w.shape),
+                delta[..., m:].reshape(p.shape))
+
     def newton_delta(masks, Rw, Rp, res):
         J = build_dense_J(masks)
         # Residual-scaled Levenberg damping: a FIXED lambda caps the
@@ -628,6 +677,15 @@ def polish_log_utility(
             newton_delta(masks_from_margins(margins, e), Rw, Rp, res)
             for e in eps_list
         ]
+        if kink_aware and bool(jnp.any((res > 1e-13) & (res < 1e-5))):
+            # Stall regime present: add the min-norm pseudoinverse step
+            # (see newton_delta_minnorm). Host gate keeps the batched
+            # SVD off the path when no problem needs it.
+            cands.append(
+                newton_delta_minnorm(masks_from_margins(margins,
+                                                        eps_list[0]),
+                                     Rw, Rp)
+            )
 
         # Backtracking line search, branch-free: evaluate the residual at
         # a fixed ladder of step sizes for EVERY candidate and keep the
@@ -652,11 +710,15 @@ def polish_log_utility(
         accepted_any = accepted_any | ok
         w_cur, p_cur = w_best, p_best
 
-    if kink_aware:
+    if kink_aware and not bool(
+        jnp.all(res_norm(*residual_and_margins(w_cur, p_cur)[:2]) < 1e-13)
+    ):
         # Second active-set attempt from the post-semismooth point: the
         # Newton rounds often settle a cleaner pattern than the raw PDHG
         # iterate, so the KKT solve gets a second, better-informed guess
-        # (cheap: the inner solver is compile-cached).
+        # (cheap: the inner solver is compile-cached). Skipped when every
+        # problem already sits at certificate precision (host check —
+        # this is a host path by contract).
         Rw_c, Rp_c, _ = residual_and_margins(w_cur, p_cur)
         res_c = res_norm(Rw_c, Rp_c)
         w_as, p_as = _active_set_newton(w_cur, p_cur, r, w_init, params)
@@ -762,11 +824,59 @@ def solve_mpc_log_utility_batch_polished(
             # continuation (restarting from the pre-polish dual would
             # re-derive work each PDHG continuation already paid for).
             p_cur = pol_info["dual"]
+            # Host early stop: every problem at certificate precision —
+            # further PDHG<->Newton cycles can only re-confirm it.
+            if bool(jnp.all(pol_info["residual_after"] < 1e-13)):
+                break
             if cycle + 1 < cycles:
                 w_cur, cinfo = solve_mpc_log_utility_batch(
                     cw64, y64, cont, w_warm=w_cur, p_warm=p_cur
                 )
                 p_cur = cinfo["dual"]
+
+        # TAIL REFINEMENT (round 3): instances parked above certificate
+        # precision after the main cycles sit at weak-complementarity
+        # kinks (the turnover ball exactly active with kappa = 0) where
+        # the Newton rounds cross the kink and converge LINEARLY — they
+        # just need more focused rounds. Re-running the whole batch pays
+        # the full O(n (2m)^3) per round for a handful of stragglers, so
+        # the tail loop slices the uncertified subset (numpy indexing —
+        # this is a host path), alternates polish <-> warm PDHG on it,
+        # and scatters the results back.
+        res_np = np.asarray(pol_info["residual_after"])
+        flat_res = res_np.reshape(-1)
+        bad = np.where(flat_res > 1e-11)[0]
+        if 0 < bad.size <= max(1, flat_res.size // 4):
+            shp = w_cur.shape
+            wf = w_cur.reshape((-1,) + shp[-2:])
+            pf = p_cur.reshape((-1,) + shp[-2:])
+            cwf = cw64.reshape(-1, shp[-1])
+            yf = y64.reshape((-1,) + shp[-2:])
+            w_b, p_b = wf[bad], pf[bad]
+            res_b = flat_res[bad]
+            for t in range(4):
+                if t > 0:
+                    # Warm PDHG re-identification between Newton rounds;
+                    # the loop always ENDS on a polish so the reported
+                    # residual describes the returned iterate.
+                    w_b, cinfo = solve_mpc_log_utility_batch(
+                        cwf[bad], yf[bad], cont, w_warm=w_b, p_warm=p_b
+                    )
+                    p_b = cinfo["dual"]
+                w_b, tinfo = polish_log_utility(
+                    w_b, p_b, cwf[bad], yf[bad], params,
+                    num_newton=2 * params.polish_newton,
+                )
+                p_b = tinfo["dual"]
+                res_b = np.asarray(tinfo["residual_after"])
+                if bool(np.all(res_b < 1e-13)):
+                    break
+            w_cur = wf.at[bad].set(w_b).reshape(shp)
+            p_cur = pf.at[bad].set(p_b).reshape(shp)
+            new_res = jnp.asarray(flat_res).at[bad].set(res_b)
+            pol_info = dict(pol_info)
+            pol_info["residual_after"] = new_res.reshape(res_np.shape)
+            pol_info["dual"] = p_cur
         w_pol = w_cur
 
         # Recompute the diagnostics the caller consumes from the
