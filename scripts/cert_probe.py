@@ -78,6 +78,22 @@ def main():
         print(f"uncertified residuals: "
               f"{[f'{res[i]:.2e}' for i in bad]}")
 
+    import json
+
+    out = {
+        "family": "realistic", "n": int(cert.size),
+        "iters": args.iters, "cycles": args.cycles, "ridge": args.ridge,
+        "tol": args.tol, "kkt_certified_frac": float(cert.mean()),
+        "residual_median": float(np.median(res)),
+        "residual_max": float(res.max()),
+        "uncertified_idx": bad.tolist(),
+        "uncertified_residuals": [float(res[i]) for i in bad],
+        "wall_s": round(wall, 1),
+    }
+    path = Path(__file__).resolve().parent / "cert_probe.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"wrote {path}")
+
 
 if __name__ == "__main__":
     main()
