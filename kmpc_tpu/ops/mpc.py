@@ -132,6 +132,37 @@ def reject_unhonored_polish(params: "MPCParams", entry: str) -> None:
         )
 
 
+# Solver status bands, mirroring the reference's CVXPY status strings
+# (reference: mpc.py:107-116): a solve that hit the tolerance is
+# "optimal", a finite-but-above-tolerance residual is
+# "optimal_inaccurate" (the iterate is still returned, exactly as the
+# reference keeps optimal_inaccurate solutions), and a non-finite
+# residual is "failure" (the hold-current-weights fallback engaged).
+STATUS_OPTIMAL = 0
+STATUS_OPTIMAL_INACCURATE = 1
+STATUS_FAILURE = 2
+STATUS_STRINGS = ("optimal", "optimal_inaccurate", "failure")
+
+
+def _status_code(fp_res: jax.Array, feas_tol: float) -> jax.Array:
+    """Per-problem status band from the fixed-point residual.
+
+    0 = optimal (residual <= feas_tol), 1 = optimal_inaccurate (finite
+    residual above tolerance — the iterate is returned, matching the
+    reference's optimal_inaccurate handling), 2 = failure (non-finite
+    residual; the hold-weights fallback engaged). Shared by every solver
+    path so XLA, packed-kernel, scenario, and MV solves report identical
+    semantics.
+    """
+    finite = jnp.isfinite(fp_res)
+    return jnp.where(
+        finite,
+        jnp.where(fp_res <= feas_tol, STATUS_OPTIMAL,
+                  STATUS_OPTIMAL_INACCURATE),
+        STATUS_FAILURE,
+    ).astype(jnp.int32)
+
+
 def _balance_steps(pr, dr, tau_c, sig_c, alpha_c):
     """Residual-balancing step adaptation (Goldstein-style), shared by
     EVERY adaptive solver body — the three XLA solvers (log-utility,
@@ -394,6 +425,7 @@ def solve_mpc_log_utility_batch(
         "converged": converged,
         "turnover_violation": to_viol,
         "fixed_point_residual": fp_res,
+        "status_code": _status_code(fp_res, params.feas_tol),
         "objective": _log_utility_objective(w_out, r, w_init, c),
         "dual": p,
     }
@@ -526,7 +558,12 @@ def solve_mpc_mean_variance_batch(
         )
         - c * jnp.sum(jnp.abs(u), axis=(-2, -1))
     )
-    info = {"converged": converged, "fixed_point_residual": fp_res, "objective": obj}
+    info = {
+        "converged": converged,
+        "fixed_point_residual": fp_res,
+        "status_code": _status_code(fp_res, params.feas_tol),
+        "objective": obj,
+    }
     return w_out, info
 
 
@@ -561,8 +598,11 @@ def solve_mpc_log_utility(
             jnp.asarray(predicted_log_returns, dtype=jnp.float32),
             params,
         )
+        # Verified path: band on the POLISH residual (the convergence
+        # measure of the returned f64 iterate), same thresholds.
+        code = int(_status_code(info["residual_after"], params.feas_tol))
         return np.asarray(w), {
-            "status": "optimal" if bool(info["converged"]) else "not_converged",
+            "status": STATUS_STRINGS[code],
             "value": float(info["objective"]),
             "turnover_violation": float(info["turnover_violation"]),
             "polish_residual_before": float(info["residual_before"]),
@@ -575,7 +615,7 @@ def solve_mpc_log_utility(
         params,
     )
     return np.asarray(w), {
-        "status": "optimal" if bool(info["converged"]) else "not_converged",
+        "status": STATUS_STRINGS[int(info["status_code"])],
         "value": float(info["objective"]),
         "turnover_violation": float(info["turnover_violation"]),
     }
@@ -600,6 +640,6 @@ def solve_mpc_mean_variance(
         params,
     )
     return np.asarray(w), {
-        "status": "optimal" if bool(info["converged"]) else "not_converged",
+        "status": STATUS_STRINGS[int(info["status_code"])],
         "value": float(info["objective"]),
     }

@@ -54,6 +54,7 @@ from kmpc_tpu.ops.mpc import (
     MPCParams,
     _balance_steps,
     _log_utility_objective,
+    _status_code,
     reject_unhonored_polish,
     restore_turnover_feasibility,
     solve_mpc_log_utility_batch,
@@ -123,26 +124,52 @@ def _sum_assets(x):
     return jnp.stack([_sum_assets(x[s]) for s in range(x.shape[0])])
 
 
-def _sum_assets2(a, b):
-    """Sum TWO [..., H, NP, TB] blocks over the asset axis at once.
+def _sum_assets_n(*xs):
+    """Sum K same-shape [..., NP, TB] blocks over the asset axis at once.
 
-    The Michelot sweep needs both the active-count and the masked-value
-    sum every iteration; at NP >= 64 both run as MXU ones-matmuls
-    (_sum_assets), and STACKING the operands along the lane axis turns
-    the two [8,NP]x[NP,TB] contractions into one [8,NP]x[NP,2TB] —
-    identical FLOPs, half the matmul issues/stagings on the critical
-    path. Below the MXU gate the plain VPU reduces are kept (lane
-    concatenation is not free there). Measured on v5e: N=500 headline
-    18.5k -> 19.6k solves/s (+6%, same-session A/B).
+    At NP >= 64 all K reductions ride ONE MXU ones-matmul
+    ([8, NP] x [NP, K*TB] after a lane-axis stack) — identical FLOPs,
+    K-1 fewer matmul issue/staging round-trips on the critical path
+    (the reduce->threshold dependence chain is the N=500 kernel's
+    binding resource, RESULTS.md roofline). Below the MXU gate the plain
+    VPU reduces are kept (lane concatenation is not free there).
+    Measured on v5e for K=2: N=500 headline 18.5k -> 19.6k solves/s
+    (+6%, same-session A/B); the K=3 ball-membership fusion is
+    _ball_l1_and_sweep.
     """
-    NP = a.shape[-2]
-    if NP < 64:
-        return (jnp.sum(a, axis=-2, keepdims=True),
-                jnp.sum(b, axis=-2, keepdims=True))
-    TB = a.shape[-1]
-    stacked = jnp.concatenate([a, b], axis=-1)       # [..., NP, 2TB]
-    out = _sum_assets(stacked)                        # [..., 1, 2TB]
-    return out[..., :TB], out[..., TB:]
+    NP = xs[0].shape[-2]
+    if NP < 64 or len(xs) == 1:
+        return tuple(jnp.sum(x, axis=-2, keepdims=True) for x in xs)
+    TB = xs[0].shape[-1]
+    stacked = jnp.concatenate(xs, axis=-1)           # [..., NP, K*TB]
+    out = _sum_assets(stacked)                        # [..., 1, K*TB]
+    return tuple(out[..., k * TB:(k + 1) * TB] for k in range(len(xs)))
+
+
+def _sum_assets2(a, b):
+    """Two-operand stacked asset reduce (see _sum_assets_n)."""
+    return _sum_assets_n(a, b)
+
+
+def _ball_l1_and_sweep(aqm, aq, radius, theta0):
+    """One warm Michelot sweep for the l1-ball threshold FUSED with the
+    unmasked l1 reduction (the ball-membership test).
+
+    The dual prox needs BOTH l1(aq) (is the point inside the ball?) and
+    a threshold sweep (count + masked sum) every iteration; at NP >= 64
+    the three asset reductions ride one [8, NP] x [NP, 3TB] MXU
+    contraction instead of two sequential matmul round-trips on the
+    reduce->threshold critical path (round-3 VERDICT task #2; the
+    padded-rows-are-zero invariant keeps l1 exact unmasked).
+    ``aqm = aq + nm`` is the pre-masked sweep input. Returns (l1, theta
+    after one warm sweep) — identical numerics to ``_sum_assets(aq)`` +
+    ``_packed_threshold(aqm, radius, 1, theta0)``.
+    """
+    active = aqm > theta0
+    cnt, s, l1 = _sum_assets_n(
+        active.astype(aq.dtype), jnp.where(active, aqm, 0.0), aq
+    )
+    return l1, (s - radius) / jnp.maximum(cnt, 1.0)
 
 
 def _packed_threshold(vm, radius, num_iters, theta0=None, n_valid=None):
@@ -301,11 +328,24 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             aq = jnp.maximum(jnp.abs(q) - c, 0.0)
             theta = theta0
             if use_ball:
-                l1 = _sum_assets(aq)
-                theta = _packed_threshold(
-                    aq + nm, sig_tau, n_sweeps, theta0=theta0,
-                    n_valid=float(N),
-                )
+                aqm = aq + nm
+                if theta0 is not None:
+                    # Warm path: fuse l1 into the first sweep's MXU
+                    # contraction (_ball_l1_and_sweep), then run the
+                    # remaining warm budget.
+                    l1, theta = _ball_l1_and_sweep(aqm, aq, sig_tau,
+                                                   theta0)
+                    if n_sweeps > 1:
+                        theta = _packed_threshold(
+                            aqm, sig_tau, n_sweeps - 1, theta0=theta,
+                            n_valid=float(N),
+                        )
+                else:
+                    l1 = _sum_assets(aq)
+                    theta = _packed_threshold(
+                        aqm, sig_tau, n_sweeps, theta0=None,
+                        n_valid=float(N),
+                    )
                 bound = c + jnp.where(
                     l1 <= sig_tau, 0.0, jnp.maximum(theta, 0.0)
                 )                                            # [H, 1, TB]
@@ -406,10 +446,21 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 q = p + sigma * apply_D(w_bar)
                 aq = jnp.maximum(jnp.abs(q) - c, 0.0)
                 if use_ball:
-                    l1 = _sum_assets(aq)
-                    th_p = _sched_threshold(
-                        aq + nm, sig_tau, th_p, pred, extra, N
-                    )
+                    # l1 fused into the warm sweep's MXU contraction
+                    # (one staging round-trip instead of two on the
+                    # reduce->threshold chain; _ball_l1_and_sweep).
+                    aqm = aq + nm
+                    l1, th_p = _ball_l1_and_sweep(aqm, aq, sig_tau, th_p)
+                    if extra > 0:
+                        th_p = jax.lax.cond(
+                            pred,
+                            lambda a: _packed_threshold(
+                                a[0], sig_tau, extra, theta0=a[1],
+                                n_valid=float(N),
+                            ),
+                            lambda a: a[1],
+                            (aqm, th_p),
+                        )
                     bound = c + jnp.where(
                         l1 <= sig_tau, 0.0, jnp.maximum(th_p, 0.0)
                     )
@@ -457,11 +508,22 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # sign/mul/select chain. (inner stays explicit so the
             # inside-the-bound case keeps p_new = q exactly.)
             if use_ball:
-                l1 = _sum_assets(a)
-                th_p = _packed_threshold(
-                    a + nm, tau_to, warm_iters,
-                    theta0=th_p if warm else None, n_valid=float(N),
-                )
+                am = a + nm
+                if warm:
+                    # l1 fused into the first warm sweep (see
+                    # _ball_l1_and_sweep), a-scale here.
+                    l1, th_p = _ball_l1_and_sweep(am, a, tau_to, th_p)
+                    if warm_iters > 1:
+                        th_p = _packed_threshold(
+                            am, tau_to, warm_iters - 1, theta0=th_p,
+                            n_valid=float(N),
+                        )
+                else:
+                    l1 = _sum_assets(a)
+                    th_p = _packed_threshold(
+                        am, tau_to, warm_iters, theta0=None,
+                        n_valid=float(N),
+                    )
                 bound = c * inv_s + jnp.where(
                     l1 <= tau_to, 0.0, jnp.maximum(th_p, 0.0)
                 )
@@ -577,6 +639,7 @@ def _finalize_packed(w, r, w_init, params: MPCParams, fp_res):
         "converged": converged,
         "turnover_violation": to_viol,
         "fixed_point_residual": fp_res,
+        "status_code": _status_code(fp_res, params.feas_tol),
     }
     return w, info
 
@@ -635,6 +698,7 @@ def _match_packed_info(info, return_dual: bool = False,
         "converged": info["converged"],
         "turnover_violation": info["turnover_violation"],
         "fixed_point_residual": info["fixed_point_residual"],
+        "status_code": info["status_code"],
     }
     if return_dual:
         out["dual"] = info["dual"]
@@ -858,7 +922,8 @@ def solve_mpc_log_utility_scenarios_packed(
 
 
 def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
-                           cold_iters: int, shared_sigma: bool = False):
+                           cold_iters: int, shared_sigma: bool = False,
+                           unroll: int = 1):
     """Mean-variance PDHG kernel, batch-in-lanes layout.
 
         min_w  sum_t [gamma w_t' Sigma w_t - w_t.mu_t] + c sum_t ||u_t||_1
@@ -982,10 +1047,28 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
             return (w_new, p_new, th_w, tau_c, sig_c, alpha_c)
 
         ones = jnp.ones((1, 1, TB), mu.dtype)
-        w, p, _, tau_f, _, _ = jax.lax.fori_loop(
-            0, params.max_iters, body,
-            (w0, p0, th_w0, tau_p * ones, sigma * ones, 0.5 * ones),
-        )
+        carry = (w0, p0, th_w0, tau_p * ones, sigma * ones, 0.5 * ones)
+        if unroll > 1:
+            # Amortize Mosaic's fixed per-trip loop cost over ``unroll``
+            # PDHG iterations (identical numerics: the same per-iteration
+            # body runs with the true iteration index). At H=1 the body
+            # is only ~4-8 vregs per full-width op, so the fixed cost
+            # dominates a single-iteration trip — the roofline measured
+            # 0.14-0.31 sustained vreg-ops/cycle there (RESULTS.md).
+            n_trips, rem = divmod(params.max_iters, unroll)
+
+            def body_u(t, c_):
+                i0 = t * unroll
+                for j in range(unroll):
+                    c_ = body(i0 + j, c_)
+                return c_
+
+            carry = jax.lax.fori_loop(0, n_trips, body_u, carry)
+            for j in range(rem):
+                carry = body(n_trips * unroll + j, carry)
+        else:
+            carry = jax.lax.fori_loop(0, params.max_iters, body, carry)
+        w, p, _, tau_f, _, _ = carry
         # One extra primal half-step so the wrapper can report the same
         # fixed-point residual / final iterate as the XLA solver.
         w_last, _ = proj_simplex(
@@ -1003,6 +1086,7 @@ def solve_mpc_mean_variance_pallas_packed(
     params: MPCParams,
     tile_b: Optional[int] = None,
     interpret: bool = False,
+    unroll: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Batch-in-lanes fused mean-variance solve (Markowitz's program):
     [B, N] x [B, H, N] x [B or none, N, N] -> ([B, H, N], info).
@@ -1041,7 +1125,15 @@ def solve_mpc_mean_variance_pallas_packed(
                 6 + _adaptive_extra_blocks(params)
             ) * H * NP * tb * 4
 
-        if H == 1 and B >= 256 and _need(256) <= 4 * 1024 * 1024:
+        def _pad_to(tb):
+            return ((B + tb - 1) // tb) * tb
+
+        if (H == 1 and B >= 256 and _need(256) <= 4 * 1024 * 1024
+                and _pad_to(256) == _pad_to(128)):
+            # The padding gate keeps the upsized tile from wasting lanes:
+            # for B just above a multiple of 256 (e.g. 300 -> Bp 512 vs
+            # 384 at tb=128) the 2x-padded batch would cost more than the
+            # +10% per-lane win buys.
             tile_b = 256
         else:
             tile_b = 128 if _need(128) <= 8 * 1024 * 1024 else None
@@ -1072,8 +1164,15 @@ def solve_mpc_mean_variance_pallas_packed(
                      ((0, NP - N), (0, Bp - B)))
 
     cold_iters = 8 if N <= 64 else (12 if N <= 256 else 16)
+    if unroll is None:
+        # H=1 bodies are ~4-8 vregs per full-width op: Mosaic's fixed
+        # per-trip loop cost dominates, so amortize it over 4 iterations
+        # per trip (identical numerics; measured on v5e — see RESULTS.md
+        # MV roofline row). Larger H amortizes naturally.
+        unroll = 4 if (H == 1 and not params.adaptive) else 1
     kernel = _make_packed_mv_kernel(params, H, N, NP, cold_iters,
-                                    shared_sigma=shared_sigma)
+                                    shared_sigma=shared_sigma,
+                                    unroll=max(1, unroll))
     grid = (Bp // tile_b,)
 
     out = pl.pallas_call(
@@ -1119,5 +1218,6 @@ def solve_mpc_mean_variance_pallas_packed(
         - params.cost_coeff * jnp.sum(jnp.abs(u), axis=(-2, -1))
     )
     info = {"converged": converged, "fixed_point_residual": fp_res,
+            "status_code": _status_code(fp_res, params.feas_tol),
             "objective": obj}
     return w_out, info

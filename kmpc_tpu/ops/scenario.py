@@ -32,6 +32,7 @@ from kmpc_tpu.ops.mpc import (
     _apply_D,
     _apply_Dt,
     _balance_steps,
+    _status_code,
     reject_unhonored_polish,
     restore_turnover_feasibility,
 )
@@ -261,6 +262,7 @@ def solve_mpc_log_utility_scenarios(
         "converged": converged,
         "turnover_violation": to_viol,
         "fixed_point_residual": fp_res,
+        "status_code": _status_code(fp_res, params.feas_tol),
         "objective": objective,
         "num_scenarios": S,
         "dual": p,

@@ -190,6 +190,7 @@ def make_sharded_train_step(cfg: Config, model: KoopmanModel, mesh: Mesh, dt: fl
 # structure and shard_map out_specs stay program-independent.
 _SHARDED_INFO_KEYS = (
     "objective", "converged", "turnover_violation", "fixed_point_residual",
+    "status_code",
 )
 
 

@@ -292,7 +292,7 @@ def test_sharded_scenario_solver_matches_unsharded(fused):
     w_sh, info = solve(cw, scen)
     assert w_sh.shape == (B, H, N)
     assert set(info) == {"objective", "converged", "turnover_violation",
-                         "fixed_point_residual"}
+                         "fixed_point_residual", "status_code"}
     tol = 5e-4 if fused else 1e-5
     assert np.max(np.abs(np.asarray(w_ref) - np.asarray(w_sh))) < tol
 
