@@ -173,6 +173,12 @@ class TrainConfig:
                                     # master params, bf16 matmul inputs and
                                     # activations, float32 MXU accumulation
                                     # and loss reductions (models/koopman.py)
+    ROLLOUT: str = "scan"           # latent rollout impl in loss_sequence:
+                                    # "scan" (T sequential z@K matmuls) or
+                                    # "kpower" (precompute K^1..K^T, apply as
+                                    # one batched MXU contraction — only a
+                                    # candidate win when BATCH_SIZE >>
+                                    # TARGET_SIZE; see KoopmanModel.rollout_impl)
     EVAL_INTERVAL: int = 500
     LOG_INTERVAL: int = 100
     STEPS_PER_DISPATCH: int = 1     # fuse K optimizer steps into ONE compiled
@@ -204,6 +210,12 @@ class MPCSolverConfig:
                                  # ~6x fewer iterations at matched objective
                                  # accuracy on the log-utility program
                                  # (in-kernel; see MPCParams.adaptive)
+    ADAPT_EVERY: int = 1         # >1: compute the balancing residuals and
+                                 # adapt tau/sigma only every k-th iteration
+                                 # (scalar in-kernel cond) — the residual
+                                 # reductions are the adaptive body's ~24%/iter
+                                 # tax; the full warm projection budget stays
+                                 # per-iteration (see MPCParams.adapt_every)
     POLISH: bool = False         # float64 host semismooth-Newton polish after
                                  # the PDHG solve (verification path: drives the
                                  # fixed-point residual to ~1e-13 on accepted

@@ -114,6 +114,29 @@ def load_price_data(
     return prices
 
 
+def download_stock_data(
+    tickers: List[str],
+    start_date: str,
+    end_date: str,
+    cache_path: Optional[Path] = None,
+) -> pd.DataFrame:
+    """Download adjusted close prices from Yahoo Finance — the
+    reference's live market-data boundary, surface-for-surface
+    (reference: data_finance.py:90-144): cache-first (parquet), lazy
+    ``yfinance`` import so zero-egress environments never touch the
+    network unless this function is explicitly called, single-ticker
+    frame handling, and the same dates x tickers price-frame contract
+    the rest of the pipeline consumes. ``load_finance_data`` stays on
+    the deterministic synthetic panel by default
+    (``FinanceConfig.SYNTHETIC=True``); flip ``SYNTHETIC=False`` (with a
+    ``CACHE_DIR``) to route the full pipeline through this path.
+    """
+    return load_price_data(
+        tickers, start_date, end_date,
+        cache_path=cache_path, synthetic=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Core pure transforms (semantics match reference exactly)
 # ---------------------------------------------------------------------------

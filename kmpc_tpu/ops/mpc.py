@@ -102,6 +102,15 @@ class MPCParams:
                               # program (see RESULTS.md). Implemented in all
                               # solvers (log-utility, scenario, mean-variance),
                               # XLA and packed-kernel paths alike.
+    adapt_every: int = 1      # >1: with ``adaptive``, compute the balancing
+                              # residuals and adapt tau/sigma only every k-th
+                              # iteration (scalar cond; the two full-width
+                              # residual reductions are most of the adaptive
+                              # body's ~24%/iteration tax). The warm projection
+                              # budget stays per-iteration — unlike the
+                              # measured-dead-end proj_refresh_every
+                              # composition, nothing touches prox accuracy.
+                              # 1 = balance every iteration (round-2 behavior).
     proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
                               # iteration and the full proj_warm_iters budget
                               # every k-th iteration (packed kernel only).
@@ -186,6 +195,38 @@ def _balance_steps(pr, dr, tau_c, sig_c, alpha_c):
     return tau_c, sig_c, alpha_c
 
 
+def _adaptive_update(i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c):
+    """Residual-balancing step update for the XLA solver bodies.
+
+    With ``params.adapt_every > 1`` the two full-width residual
+    reductions — most of the adaptive body's measured ~24%/iteration
+    tax — run only on every k-th iteration under a scalar ``lax.cond``;
+    off iterations pass the step sizes through untouched. The warm
+    projection budget is unaffected (prox accuracy was what broke the
+    proj_refresh_every composition, a measured dead end).
+    """
+    def balance(a):
+        w, w_new, p, p_new, tau_c, sig_c, alpha_c = a
+        dw = w - w_new
+        dp = p - p_new
+        pr = jnp.sqrt(jnp.sum(
+            (dw / tau_c - _apply_Dt(dp)) ** 2, axis=(-2, -1)
+        ))[..., None, None]
+        dr = jnp.sqrt(jnp.sum(
+            (dp / sig_c - _apply_D(dw, jnp.zeros_like(dw[..., 0, :]))) ** 2,
+            axis=(-2, -1),
+        ))[..., None, None]
+        return _balance_steps(pr, dr, tau_c, sig_c, alpha_c)
+
+    args = (w, w_new, p, p_new, tau_c, sig_c, alpha_c)
+    if params.adapt_every <= 1:
+        return balance(args)
+    return jax.lax.cond(
+        (i % params.adapt_every) == 0, balance,
+        lambda a: (a[4], a[5], a[6]), args,
+    )
+
+
 def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
     """Build MPCParams from a Config's MPC section (kwargs override)."""
     base = dict(
@@ -198,6 +239,7 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         step_scale=cfg.MPC.SOLVER.STEP_SCALE,
         over_relax=cfg.MPC.SOLVER.OVER_RELAX,
         adaptive=cfg.MPC.SOLVER.ADAPTIVE,
+        adapt_every=cfg.MPC.SOLVER.ADAPT_EVERY,
         proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
         polish=cfg.MPC.SOLVER.POLISH,
         polish_newton=cfg.MPC.SOLVER.POLISH_NEWTON,
@@ -331,7 +373,7 @@ def solve_mpc_log_utility_batch(
     warm = params.proj_warm_iters > 0 and not params.allow_short
     th_shape = w0.shape[:-1] + (1,)
 
-    def body(carry, _):
+    def body(carry, i):
         w, p, th_w, th_p, tau_c, sig_c, alpha_c = carry
         port = jnp.sum(w * r, axis=-1, keepdims=True)
         grad = -r / jnp.maximum(port, 1e-12) + params.ridge * w
@@ -361,17 +403,10 @@ def solve_mpc_log_utility_batch(
             # adaptation rate alpha decays geometrically on every
             # adaptation, so total adaptation is finite and the
             # fixed-step convergence theory re-applies asymptotically.
-            pr = jnp.sqrt(jnp.sum(
-                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            dr = jnp.sqrt(jnp.sum(
-                ((p - p_new) / sig_c
-                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            tau_c, sig_c, alpha_c = _balance_steps(
-                pr, dr, tau_c, sig_c, alpha_c
+            # adapt_every > 1 skips the residual reductions on off
+            # iterations (see _adaptive_update).
+            tau_c, sig_c, alpha_c = _adaptive_update(
+                i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c
             )
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
@@ -380,12 +415,14 @@ def solve_mpc_log_utility_batch(
 
     th0 = jnp.zeros(th_shape, dtype)
     alpha0 = jnp.full(jnp.shape(L), 0.5, dtype)
+    xs = (jnp.arange(params.max_iters)
+          if params.adaptive and params.adapt_every > 1 else None)
     (w, p, _, _, tau_f, sig_f, _), _ = jax.lax.scan(
         body,
         (w0, p0, th0, th0,
          jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
          jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype), alpha0),
-        None, length=params.max_iters,
+        xs, length=params.max_iters,
     )
 
     # One extra primal step to measure the fixed-point residual.
@@ -497,7 +534,7 @@ def solve_mpc_mean_variance_batch(
     # solver's runtime: 9.9k -> see RESULTS.md).
     warm = params.proj_warm_iters > 0 and not params.allow_short
 
-    def body(carry, _):
+    def body(carry, i):
         w, p, th_w, tau_c, sig_c, alpha_c = carry
         v = w - tau_c * (grad_g(w) + _apply_Dt(p))
         if warm:
@@ -510,18 +547,9 @@ def solve_mpc_mean_variance_batch(
         p_new = jnp.clip(p + sig_c * _apply_D(w_bar, w_init), -c, c)
         if params.adaptive:
             # Residual balancing, identical to the log-utility solver's
-            # adaptive branch (see MPCParams.adaptive).
-            pr = jnp.sqrt(jnp.sum(
-                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            dr = jnp.sqrt(jnp.sum(
-                ((p - p_new) / sig_c
-                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            tau_c, sig_c, alpha_c = _balance_steps(
-                pr, dr, tau_c, sig_c, alpha_c
+            # adaptive branch (see MPCParams.adaptive / adapt_every).
+            tau_c, sig_c, alpha_c = _adaptive_update(
+                i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c
             )
         if params.over_relax != 1.0:
             w_new = w + params.over_relax * (w_new - w)
@@ -532,13 +560,15 @@ def solve_mpc_mean_variance_batch(
     # which case L lacks the batch dims the per-problem residuals have).
     steps_shape = w0.shape[:-2] + (1, 1)
     th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)
+    xs = (jnp.arange(params.max_iters)
+          if params.adaptive and params.adapt_every > 1 else None)
     (w, p, _, tau_f, _, _), _ = jax.lax.scan(
         body,
         (w0, p0, th0,
          jnp.broadcast_to(tau_p, steps_shape).astype(dtype),
          jnp.broadcast_to(sigma, steps_shape).astype(dtype),
          jnp.full(steps_shape, 0.5, dtype)),
-        None, length=params.max_iters,
+        xs, length=params.max_iters,
     )
 
     w_last = proj_primal(w - tau_f * (grad_g(w) + _apply_Dt(p)))

@@ -474,7 +474,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
             return body
 
-        def body_adaptive(_, carry):
+        def body_adaptive(i, carry):
             # Residual-balancing adaptive steps (ops/mpc.py body's
             # params.adaptive branch, same constants): tau/sigma become
             # loop-carried [1, 1, TB] values, the dual reciprocal is
@@ -532,17 +532,30 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             inner = v - jnp.clip(v, -bound, bound)
             p_new = q - sig_c * inner
 
-            dw = w - w_new
-            dp = p - p_new
-            pr = jnp.sqrt(jnp.sum(
-                (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
-            ))[None, None]                                   # [1, 1, TB]
-            dr = jnp.sqrt(jnp.sum(
-                (dp * inv_s - apply_D0(dw)) ** 2, axis=(0, 1)
-            ))[None, None]
-            tau_c, sig_c, alpha_c = _balance_steps(
-                pr, dr, tau_c, sig_c, alpha_c
-            )
+            def _bal(a):
+                # The two full-width residual reductions are most of the
+                # adaptive body's ~24%/iteration tax; with
+                # ``params.adapt_every > 1`` they run under a scalar
+                # lax.cond on every k-th iteration only (the warm
+                # projection budget above is untouched — prox accuracy
+                # is what broke the refresh composition).
+                dw, dp, tau_c, sig_c, alpha_c = a
+                pr = jnp.sqrt(jnp.sum(
+                    (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
+                ))[None, None]                               # [1, 1, TB]
+                dr = jnp.sqrt(jnp.sum(
+                    (dp / sig_c - apply_D0(dw)) ** 2, axis=(0, 1)
+                ))[None, None]
+                return _balance_steps(pr, dr, tau_c, sig_c, alpha_c)
+
+            bal_args = (w - w_new, p - p_new, tau_c, sig_c, alpha_c)
+            if params.adapt_every <= 1:
+                tau_c, sig_c, alpha_c = _bal(bal_args)
+            else:
+                tau_c, sig_c, alpha_c = jax.lax.cond(
+                    (i % params.adapt_every) == 0, _bal,
+                    lambda a: (a[2], a[3], a[4]), bal_args,
+                )
             if rho != 1.0:
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)
@@ -1029,18 +1042,26 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
             w_bar = 2.0 * w_new - w
             p_new = jnp.clip(p + sig_c * apply_D(w_bar), -c, c)
             if params.adaptive:
-                # Residual balancing, same constants as the XLA body.
-                dw = w - w_new
-                dp = p - p_new
-                pr = jnp.sqrt(jnp.sum(
-                    (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
-                ))[None, None]
-                dr = jnp.sqrt(jnp.sum(
-                    (dp / sig_c - apply_D0(dw)) ** 2, axis=(0, 1)
-                ))[None, None]
-                tau_c, sig_c, alpha_c = _balance_steps(
-                    pr, dr, tau_c, sig_c, alpha_c
-                )
+                # Residual balancing, same constants as the XLA body;
+                # adapt_every > 1 skips the reductions off-schedule.
+                def _bal(a):
+                    dw, dp, tau_c, sig_c, alpha_c = a
+                    pr = jnp.sqrt(jnp.sum(
+                        (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
+                    ))[None, None]
+                    dr = jnp.sqrt(jnp.sum(
+                        (dp / sig_c - apply_D0(dw)) ** 2, axis=(0, 1)
+                    ))[None, None]
+                    return _balance_steps(pr, dr, tau_c, sig_c, alpha_c)
+
+                bal_args = (w - w_new, p - p_new, tau_c, sig_c, alpha_c)
+                if params.adapt_every <= 1:
+                    tau_c, sig_c, alpha_c = _bal(bal_args)
+                else:
+                    tau_c, sig_c, alpha_c = jax.lax.cond(
+                        (i % params.adapt_every) == 0, _bal,
+                        lambda a: (a[2], a[3], a[4]), bal_args,
+                    )
             if rho != 1.0:   # over-relaxation, matching the XLA body
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from kmpc_tpu.models.koopman import KoopmanModel
 from kmpc_tpu.ops.mpc import (
     MPCParams,
+    _adaptive_update,
     _apply_D,
     _apply_Dt,
-    _balance_steps,
     _status_code,
     reject_unhonored_polish,
     restore_turnover_feasibility,
@@ -176,7 +176,7 @@ def solve_mpc_log_utility_scenarios(
     warm = params.proj_warm_iters > 0 and not params.allow_short
     rho = params.over_relax
 
-    def body(carry, _):
+    def body(carry, i):
         w, p, th_w, th_p, tau_c, sig_c, alpha_c = carry
         v = w - tau_c * (grad_g(w) + _apply_Dt(p))
         if warm:
@@ -197,18 +197,9 @@ def solve_mpc_log_utility_scenarios(
             p_new = prox_phi_conj(q, sig_c)
         if params.adaptive:
             # Residual balancing, identical to ops/mpc.py's adaptive
-            # branch (see MPCParams.adaptive).
-            pr = jnp.sqrt(jnp.sum(
-                ((w - w_new) / tau_c - _apply_Dt(p - p_new)) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            dr = jnp.sqrt(jnp.sum(
-                ((p - p_new) / sig_c
-                 - _apply_D(w - w_new, jnp.zeros_like(w_init))) ** 2,
-                axis=(-2, -1),
-            ))[..., None, None]
-            tau_c, sig_c, alpha_c = _balance_steps(
-                pr, dr, tau_c, sig_c, alpha_c
+            # branch (see MPCParams.adaptive / adapt_every).
+            tau_c, sig_c, alpha_c = _adaptive_update(
+                i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c
             )
         if rho != 1.0:
             w_new = w + rho * (w_new - w)
@@ -216,13 +207,15 @@ def solve_mpc_log_utility_scenarios(
         return (w_new, p_new, th_w, th_p, tau_c, sig_c, alpha_c), None
 
     th0 = jnp.zeros(w0.shape[:-1] + (1,), dtype)
+    xs = (jnp.arange(params.max_iters)
+          if params.adaptive and params.adapt_every > 1 else None)
     (w, p, _, _, tau_f, _, _), _ = jax.lax.scan(
         body,
         (w0, p0, th0, th0,
          jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
          jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype),
          jnp.full(jnp.shape(L), 0.5, dtype)),
-        None, length=params.max_iters,
+        xs, length=params.max_iters,
     )
 
     w_last = proj_primal(w - tau_f * (grad_g(w) + _apply_Dt(p)))

@@ -348,3 +348,38 @@ def test_real_data_branch_single_ticker(monkeypatch, tmp_path):
                              synthetic=False)
     assert list(prices.columns) == ["ONLY"]
     assert prices.shape == (50, 1)
+
+
+def test_download_stock_data_reference_surface(monkeypatch, tmp_path):
+    """The named download_stock_data entry (reference:
+    data_finance.py:90-144): cache-first behavior — the first call
+    downloads and writes the parquet, the second call must serve the
+    cache WITHOUT importing/touching yfinance at all, and both frames
+    feed the downstream pipeline identically."""
+    import sys
+
+    from kmpc_tpu.data.finance import (
+        clean_price_data,
+        compute_log_returns,
+        download_stock_data,
+    )
+
+    tickers = ["AAA", "BBB", "CCC", "DDD"]
+    frame = _yf_style_frame(tickers)
+    calls = _install_stub_yfinance(monkeypatch, frame)
+    cache = tmp_path / "dl.parquet"
+
+    prices1 = download_stock_data(tickers, "2018-01-01", "2021-12-31",
+                                  cache_path=cache)
+    assert len(calls) == 1 and cache.exists()
+
+    # Second call: cache hit; yfinance must not even be importable.
+    monkeypatch.delitem(sys.modules, "yfinance")
+    prices2 = download_stock_data(tickers, "2018-01-01", "2021-12-31",
+                                  cache_path=cache)
+    pd.testing.assert_frame_equal(prices1, prices2, check_freq=False)
+
+    # Identical downstream pipeline from either frame.
+    r1 = compute_log_returns(clean_price_data(prices1))
+    r2 = compute_log_returns(clean_price_data(prices2))
+    pd.testing.assert_frame_equal(r1, r2, check_freq=False)

@@ -522,3 +522,39 @@ def test_unknown_compute_dtype_raises():
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="compute_dtype"):
         model.encode(params, jnp.ones((2, 4)))
+
+
+def test_kpower_rollout_matches_scan():
+    """rollout_impl="kpower" (round-3 VERDICT weak #6 A/B candidate)
+    must match the scan rollout up to f32 matmul reassociation, through
+    rollout_latent_discrete AND the full sequence loss."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu import get_config
+    from kmpc_tpu.models import make_model
+
+    cfg = get_config("generic")
+    cfg.MODEL.TARGET_SIZE = 24
+    model = make_model(cfg, 6)
+    model_kp = dataclasses.replace(model, rollout_impl="kpower")
+    params = model.init(jax.random.PRNGKey(0))
+    # Make K non-trivial (identity init would hide association errors).
+    params = dict(params)
+    params["kmat"] = params["kmat"] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(1), params["kmat"].shape
+    )
+
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (8, 24))
+    tr_scan = model.rollout_latent_discrete(params, z0, 7)
+    tr_kp = model_kp.rollout_latent_discrete(params, z0, 7)
+    assert tr_scan.shape == tr_kp.shape == (8, 8, 24)
+    np.testing.assert_allclose(np.asarray(tr_scan), np.asarray(tr_kp),
+                               atol=2e-5)
+
+    x_seq = jax.random.normal(jax.random.PRNGKey(3), (4, 6, 6))
+    l_scan, m_scan = model.loss_sequence(params, x_seq)
+    l_kp, m_kp = model_kp.loss_sequence(params, x_seq)
+    np.testing.assert_allclose(float(l_scan), float(l_kp), rtol=1e-5)
