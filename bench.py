@@ -247,7 +247,7 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     }
 
 
-def bench_markowitz(batch, iters, reps, H=1, N=30):
+def bench_markowitz(batch, iters, reps, H=1, N=30, unroll=None):
     """Mean-variance (Markowitz) solve throughput on the packed Pallas
     kernel: the rolling-window baseline's per-date program (reference:
     baselines.py:24-106 -> mpc.py:119-184), with per-problem covariance
@@ -263,7 +263,8 @@ def bench_markowitz(batch, iters, reps, H=1, N=30):
 
     @jax.jit
     def solve(cw, mu, sig):
-        w, info = solve_mpc_mean_variance_pallas_packed(cw, mu, sig, params)
+        w, info = solve_mpc_mean_variance_pallas_packed(cw, mu, sig, params,
+                                                        unroll=unroll)
         return info["converged"], jnp.sum(w)
 
     def make_problems(seed):
@@ -553,6 +554,9 @@ def main():
                     help="latent rollout impl for --mode train "
                          "(kpower = precomputed K-power chain A/B, "
                          "round-3 VERDICT weak #6)")
+    ap.add_argument("--mv_unroll", type=int, default=None,
+                    help="MV kernel loop unroll for --mode markowitz "
+                         "(None = auto: 4 at H=1)")
     ap.add_argument("--adapt_every", type=int, default=1,
                     help="balance the adaptive steps every k-th "
                          "iteration for --mode accurate (skips the "
@@ -595,14 +599,19 @@ def main():
         if args.adapt_every > 1:
             res["adapt_every"] = args.adapt_every
     elif args.mode == "long":
-        res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20, N=30)
+        # probe=False: the objective-gap probe needs a cached f64 oracle
+        # for the EXACT (H, N); building one implicitly is a multi-hour
+        # host polish (N=500: [5000, 5000] dense Jacobians). Only the
+        # headline (H=5, N=30) key ships in bench_probe_cache.json.
+        res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20,
+                        N=30, probe=False)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
     elif args.mode == "assets500":
         # All regimes now use the batch-in-lanes VMEM-resident kernel
         # (1.5x the XLA scan at the headline, 1.7x the assets-in-lanes
         # kernel at N=500 — see ops/mpc_pallas.py docstring).
         res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5,
-                        N=500)
+                        N=500, probe=False)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
     elif args.mode == "scenario":
         res = bench_scenario(args.batch or 4096, args.iters, args.reps)
@@ -614,7 +623,8 @@ def main():
         # each -> O(10-100) dates/s; use 100/s as the generous baseline.
         baseline = 100.0
     elif args.mode == "markowitz":
-        res = bench_markowitz(args.batch or 4096, args.iters, args.reps)
+        res = bench_markowitz(args.batch or 4096, args.iters, args.reps,
+                              unroll=args.mv_unroll)
         metric = "mean_variance_solves_per_s_per_chip_H1_N30"
     elif args.mode == "scaling":
         res = bench_scaling(args.batch or 4096, args.iters, args.reps,

@@ -760,8 +760,21 @@ def _boundary_refine_instance(w, p, cw, y, params):
 
     best = None
     for slack0, opt, S, A, sgn in screened[:4]:
-        wf, fprim = _solve_restricted_primal(w, cw, r, S, A, sgn, Bm,
-                                             params)
+        # Primal solve with negative-support repair: a support component
+        # the restricted solve drives negative is misclassified (should
+        # be out, with a forced trade at the transition) — drop it,
+        # rebuild the forced-transition trades, and re-solve. Wrong
+        # repairs are harmless: the candidate still has to win the
+        # residual acceptance below.
+        S = S.copy()
+        for _ in range(4):
+            wf, fprim = _solve_restricted_primal(w, cw, r, S, A, sgn,
+                                                 Bm, params)
+            neg = (S > 0) & (wf < -1e-12)
+            if not neg.any():
+                break
+            S[neg] = 0.0
+            A, sgn = build_trades(S)
         if fprim > 1e-11 or wf.min() < -1e-10:
             continue
         wf = np.maximum(wf, 0.0)
@@ -816,7 +829,12 @@ def polish_log_utility(
         iterate (so callers can thread the Newton rounds' dual progress
         into a warm-started PDHG continuation instead of restarting from
         the stale pre-polish dual). Rejected problems keep their input
-        w and p exactly.
+        w and p exactly. In the batch-polished pipeline
+        (solve_mpc_log_utility_batch_polished), ``residual_before``
+        always refers to the LAST main-loop polish's input; the tail /
+        boundary refinements update ``residual_after`` and OR improved
+        instances into ``accepted`` (so the diagnostics stay consistent
+        for refined instances).
     """
     H, N = predicted_log_returns.shape[-2:]
     m = H * N
