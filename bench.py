@@ -583,8 +583,14 @@ def main():
             # at reference accuracy (<= 1e-4; ECOS solves the per-date
             # program to ~1e-8, reference: mpc.py:107-111 — see
             # RESULTS.md "accuracy ladder").
+            # adapt_every=2: the measured matched-accuracy frontier of
+            # the sparse-balancing ladder (round 4, same-session A/B:
+            # k=1 133.8k @ gap 9.0e-5, k=2 147.9k @ 9.6e-5, k=4@1000
+            # 150.4k @ 1.14e-4 > 1e-4, k=8@1500 130.3k @ 5.6e-5 —
+            # balancing frequency trades accuracy, so large k loses at
+            # matched gap).
             acc = bench_mpc(args.batch or 8192, args.iters, args.reps,
-                            adaptive=True)
+                            adaptive=True, adapt_every=2)
             res["accurate_solves_per_s"] = round(acc["value"], 1)
             res["accurate_objective_gap_median"] = acc[
                 "objective_gap_median"]
@@ -595,9 +601,8 @@ def main():
         # (objective gap <= 1e-4 at 1000 iterations, see RESULTS.md).
         res = bench_mpc(args.batch or 8192, args.iters, args.reps,
                         adaptive=True, adapt_every=args.adapt_every)
+        res["adapt_every"] = args.adapt_every
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30_accurate"
-        if args.adapt_every > 1:
-            res["adapt_every"] = args.adapt_every
     elif args.mode == "long":
         # probe=False: the objective-gap probe needs a cached f64 oracle
         # for the EXACT (H, N); building one implicitly is a multi-hour

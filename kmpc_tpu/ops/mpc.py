@@ -221,8 +221,12 @@ def _adaptive_update(i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c):
     args = (w, w_new, p, p_new, tau_c, sig_c, alpha_c)
     if params.adapt_every <= 1:
         return balance(args)
+    # Balance on the LAST iteration of each k-block (i % k == k-1) so
+    # the packed kernels' block-unrolled loop (k-1 plain sub-steps, then
+    # one balancing sub-step — no per-iteration cond) follows the
+    # identical schedule.
     return jax.lax.cond(
-        (i % params.adapt_every) == 0, balance,
+        (i % params.adapt_every) == params.adapt_every - 1, balance,
         lambda a: (a[4], a[5], a[6]), args,
     )
 

@@ -474,7 +474,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
             return body
 
-        def body_adaptive(i, carry):
+        def body_adaptive(i, carry, do_bal=None):
             # Residual-balancing adaptive steps (ops/mpc.py body's
             # params.adaptive branch, same constants): tau/sigma become
             # loop-carried [1, 1, TB] values, the dual reciprocal is
@@ -535,10 +535,13 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             def _bal(a):
                 # The two full-width residual reductions are most of the
                 # adaptive body's ~24%/iteration tax; with
-                # ``params.adapt_every > 1`` they run under a scalar
-                # lax.cond on every k-th iteration only (the warm
-                # projection budget above is untouched — prox accuracy
-                # is what broke the refresh composition).
+                # ``params.adapt_every > 1`` the BLOCK-UNROLLED loop
+                # below runs them only in the last sub-step of each
+                # k-block. (A per-iteration scalar lax.cond was measured
+                # to eat roughly half the savings: passing the
+                # full-width dw/dp operands through the cond boundary
+                # costs what the skipped reductions save — k=2 was
+                # NEUTRAL, k=8 only +6.5% on the chip.)
                 dw, dp, tau_c, sig_c, alpha_c = a
                 pr = jnp.sqrt(jnp.sum(
                     (dw / tau_c - apply_Dt(dp)) ** 2, axis=(0, 1)
@@ -549,13 +552,17 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 return _balance_steps(pr, dr, tau_c, sig_c, alpha_c)
 
             bal_args = (w - w_new, p - p_new, tau_c, sig_c, alpha_c)
-            if params.adapt_every <= 1:
+            if do_bal is None:          # fori body: schedule by index
+                if params.adapt_every <= 1:
+                    tau_c, sig_c, alpha_c = _bal(bal_args)
+                else:
+                    tau_c, sig_c, alpha_c = jax.lax.cond(
+                        (i % params.adapt_every)
+                        == params.adapt_every - 1,
+                        _bal, lambda a: (a[2], a[3], a[4]), bal_args,
+                    )
+            elif do_bal:                # block-unrolled: static choice
                 tau_c, sig_c, alpha_c = _bal(bal_args)
-            else:
-                tau_c, sig_c, alpha_c = jax.lax.cond(
-                    (i % params.adapt_every) == 0, _bal,
-                    lambda a: (a[2], a[3], a[4]), bal_args,
-                )
             if rho != 1.0:
                 w_new = w + rho * (w_new - w)
                 p_new = p + rho * (p_new - p)
@@ -568,10 +575,28 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
         tau_f = tau_p
         if params.adaptive:
             ones = jnp.ones_like(L)
-            w, p, _, _, tau_f, _, _ = jax.lax.fori_loop(
-                0, params.max_iters, body_adaptive,
-                carry0 + (tau_p * ones, sigma * ones, 0.5 * ones),
-            )
+            carry_a = carry0 + (tau_p * ones, sigma * ones, 0.5 * ones)
+            k_bal = params.adapt_every
+            if k_bal > 1:
+                # Block-unrolled sparse balancing: k-1 plain sub-steps +
+                # one balancing sub-step per loop trip (identical
+                # schedule to the XLA solver's i % k == k-1 cond, no
+                # per-iteration cond overhead — see _bal's comment).
+                n_trips, rem = divmod(params.max_iters, k_bal)
+
+                def block(_, c_):
+                    for _j in range(k_bal - 1):
+                        c_ = body_adaptive(0, c_, do_bal=False)
+                    return body_adaptive(0, c_, do_bal=True)
+
+                carry_a = jax.lax.fori_loop(0, n_trips, block, carry_a)
+                for _j in range(rem):
+                    carry_a = body_adaptive(0, carry_a, do_bal=False)
+                w, p, _, _, tau_f, _, _ = carry_a
+            else:
+                w, p, _, _, tau_f, _, _ = jax.lax.fori_loop(
+                    0, params.max_iters, body_adaptive, carry_a,
+                )
         elif warm and refresh > 1:
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, make_body_cond(refresh), carry0
@@ -1059,8 +1084,9 @@ def _make_packed_mv_kernel(params: MPCParams, H: int, N: int, NP: int,
                     tau_c, sig_c, alpha_c = _bal(bal_args)
                 else:
                     tau_c, sig_c, alpha_c = jax.lax.cond(
-                        (i % params.adapt_every) == 0, _bal,
-                        lambda a: (a[2], a[3], a[4]), bal_args,
+                        (i % params.adapt_every)
+                        == params.adapt_every - 1,
+                        _bal, lambda a: (a[2], a[3], a[4]), bal_args,
                     )
             if rho != 1.0:   # over-relaxation, matching the XLA body
                 w_new = w + rho * (w_new - w)
