@@ -342,3 +342,46 @@ def test_boundary_refine_certifies_dust_position_instances():
     w = np.asarray(w)
     assert np.allclose(w.sum(-1), 1.0, atol=1e-9)
     assert w.min() >= -1e-12
+
+
+def test_interior_point_fallback_matches_solver():
+    """Round-4 pattern-free IP fallback (_interior_point_instance): on a
+    small instance the barrier solve must reproduce the PDHG solver's
+    solution (weights + objective) and hand the polish a certifiable
+    point."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+    from kmpc_tpu.ops.mpc_polish import (
+        _interior_point_instance,
+        polish_log_utility,
+    )
+
+    rng = np.random.default_rng(9)
+    H_, N_ = 3, 8
+    cw = rng.dirichlet(np.ones(N_))
+    y = rng.standard_normal((H_, N_)) * 0.02
+    params = MPCParams(max_iters=20000, sigma_scale=2.0, ridge=1e-3)
+
+    with jax.default_device(jax.devices("cpu")[0]), jax.enable_x64(True):
+        out = _interior_point_instance(cw, y, params)
+        assert out is not None
+        w_ip, q_ip = out
+        # feasibility of the IP primal
+        assert np.allclose(w_ip.sum(-1), 1.0, atol=1e-9)
+        assert w_ip.min() > -1e-12
+        u = w_ip - np.vstack([cw[None], w_ip[:-1]])
+        assert np.all(np.abs(u).sum(-1) <= params.max_turnover + 1e-9)
+
+        w_ref, _ = solve_mpc_log_utility_batch(
+            jnp.asarray(cw[None]), jnp.asarray(y[None]), params
+        )
+        assert np.abs(np.asarray(w_ref[0]) - w_ip).max() < 5e-4
+
+        # The polish must certify from the IP point.
+        w_pol, info = polish_log_utility(
+            jnp.asarray(w_ip[None]), jnp.asarray(q_ip[None]),
+            jnp.asarray(cw[None]), jnp.asarray(y[None]), params,
+        )
+        assert float(info["residual_after"][0]) < 1e-10
