@@ -154,6 +154,183 @@ def _probe_gap(solve_w, H, N):
     }
 
 
+# ---------------------------------------------------------------------------
+# f64 reference objectives for the NON-headline shapes (round-5 VERDICT
+# task: extend the matched-accuracy story to the full workload surface).
+# The headline H=5/N=30 probe uses the verified-polish oracle above; the
+# other shapes use the best reference buildable at their size, cached in
+# bench_probe_cache.json with the method recorded in the key:
+#   log H=20/N=30   verified polish (n=16; [1200]^2 dense J fits)
+#   log H=5/N=500   f64 adaptive PDHG @ 60k iters (polish J would be
+#                   [5000]^2 per instance — out of the polish envelope)
+#   scenario S=16   f64 adaptive PDHG @ 40k iters (no polish machinery
+#                   for the scenario program; a 40k-iteration f64
+#                   adaptive solve sits orders below any f32 budget gap)
+#   mv H=1          f64 adaptive PDHG @ 40k iters (strongly convex QP)
+# ---------------------------------------------------------------------------
+
+
+def _small_probe_instances(kind, H, N, S=None, n=16):
+    r = np.random.default_rng(_PROBE_SEED + 7)
+    cw = r.dirichlet(np.ones(N), size=n).astype(np.float32)
+    if kind == "scenario":
+        ys = (r.standard_normal((n, S, H, N)) * 0.01).astype(np.float32)
+        return cw, ys, None
+    ys = (r.standard_normal((n, H, N)) * 0.01 + 0.0005).astype(np.float32)
+    if kind == "mv":
+        A = r.standard_normal((n, N, N)) * 0.01
+        sig = (np.einsum("bij,bkj->bik", A, A)
+               + np.eye(N) * 1e-4).astype(np.float32)
+        return cw, ys, sig
+    return cw, ys, None
+
+
+def _mv_min_objective(w, mu, sig, cw, gamma=5.0, cost_coeff=0.001):
+    w = np.asarray(w, np.float64)
+    mu = np.asarray(mu, np.float64)
+    sig = np.asarray(sig, np.float64)
+    prev = np.concatenate([np.asarray(cw, np.float64)[:, None], w[:, :-1]], 1)
+    u = w - prev
+    quad = np.einsum("btn,bnm,btm->b", w, sig, w)
+    return (gamma * quad - np.einsum("btn,btn->b", w, mu)
+            + cost_coeff * np.abs(u).sum((-2, -1)))
+
+
+def _scenario_min_objective(w, scen, cw, cost_coeff=0.001):
+    w = np.asarray(w, np.float64)
+    r = np.exp(np.asarray(scen, np.float64))           # [n, S, H, N]
+    port = np.maximum((w[:, None] * r).sum(-1), 1e-300)
+    prev = np.concatenate([np.asarray(cw, np.float64)[:, None], w[:, :-1]], 1)
+    u = w - prev
+    return (-np.log(port).sum(-1).mean(-1)
+            + cost_coeff * np.abs(u).sum((-2, -1)))
+
+
+def _ref_objectives(kind, H, N, S=None, n=16):
+    """Cached f64 reference objectives for (kind, shape); see above."""
+    import json as _json
+    from pathlib import Path
+
+    method = ("polish" if kind == "log" and (H, N) in ((20, 30),)
+              else "f64pdhg")
+    key = (f"{kind}_H{H}_N{N}" + (f"_S{S}" if S else "")
+           + f"_n{n}_seed{_PROBE_SEED + 7}_{method}")
+    path = Path(__file__).resolve().parent / _PROBE_CACHE
+    cache = {}
+    if path.exists():
+        cache = _json.loads(path.read_text())
+    if key in cache:
+        return np.asarray(cache[key], np.float64)
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams
+
+    cw, ys, sig = _small_probe_instances(kind, H, N, S=S, n=n)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        cw64 = jnp.asarray(cw, jnp.float64)
+        ys64 = jnp.asarray(ys, jnp.float64)
+        if method == "polish":
+            from kmpc_tpu.ops.mpc_polish import (
+                solve_mpc_log_utility_batch_polished,
+            )
+
+            params = MPCParams(max_iters=20000, sigma_scale=2.0,
+                               polish_newton=4)
+            w, _ = solve_mpc_log_utility_batch_polished(
+                cw64, ys64, params, cycles=3, continue_iters=2000
+            )
+            obj = _min_objective(np.asarray(w), ys, cw)
+        elif kind == "log":
+            from kmpc_tpu.ops.mpc import solve_mpc_log_utility_batch
+
+            params = MPCParams(max_iters=60000, sigma_scale=2.0,
+                               adaptive=True, adapt_every=2)
+            w, _ = solve_mpc_log_utility_batch(cw64, ys64, params)
+            obj = _min_objective(np.asarray(w), ys, cw)
+        elif kind == "scenario":
+            from kmpc_tpu.ops.scenario import (
+                solve_mpc_log_utility_scenarios,
+            )
+
+            params = MPCParams(max_iters=40000, sigma_scale=2.0,
+                               adaptive=True, adapt_every=2)
+            w, _ = solve_mpc_log_utility_scenarios(cw64, ys64, params)
+            obj = _scenario_min_objective(np.asarray(w), ys, cw)
+        else:                                            # mv
+            from kmpc_tpu.ops.mpc import solve_mpc_mean_variance_batch
+
+            params = MPCParams(max_iters=40000, sigma_scale=2.0,
+                               gamma=5.0, adaptive=True, adapt_every=2)
+            w, _ = solve_mpc_mean_variance_batch(
+                cw64, ys64, jnp.asarray(sig, jnp.float64), params
+            )
+            obj = _mv_min_objective(np.asarray(w), ys, sig, cw)
+    cache[key] = [float(v) for v in obj]
+    path.write_text(_json.dumps(cache, indent=1))
+    return np.asarray(cache[key], np.float64)
+
+
+def _gap_eval(kind, H, N, S=None, n=16, **params_kw):
+    """Objective gap of the packed solver at ``params_kw`` vs the cached
+    f64 reference, on the fixed small probe for (kind, shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams
+
+    cw, ys, sig = _small_probe_instances(kind, H, N, S=S, n=n)
+    ref = _ref_objectives(kind, H, N, S=S, n=n)
+    params = MPCParams(**params_kw)
+    if kind == "log":
+        from kmpc_tpu.ops.mpc_pallas import (
+            solve_mpc_log_utility_pallas_packed as f,
+        )
+
+        w = np.asarray(jax.jit(lambda a, b: f(a, b, params)[0])(
+            jnp.asarray(cw), jnp.asarray(ys)))
+        gap = _min_objective(w, ys, cw) - ref
+    elif kind == "scenario":
+        from kmpc_tpu.ops.mpc_pallas import (
+            solve_mpc_log_utility_scenarios_packed as f,
+        )
+
+        w = np.asarray(jax.jit(lambda a, b: f(a, b, params)[0])(
+            jnp.asarray(cw), jnp.asarray(ys)))
+        gap = _scenario_min_objective(w, ys, cw) - ref
+    else:                                                # mv
+        from kmpc_tpu.ops.mpc_pallas import (
+            solve_mpc_mean_variance_pallas_packed as f,
+        )
+
+        w = np.asarray(jax.jit(lambda a, b, c: f(a, b, c, params)[0])(
+            jnp.asarray(cw), jnp.asarray(ys), jnp.asarray(sig)))
+        gap = _mv_min_objective(w, ys, sig, cw) - ref
+    method = ("verified_polish" if kind == "log" and (H, N) == (20, 30)
+              else "f64_adaptive_pdhg")
+    return {
+        "objective_gap_median": float(np.median(gap)),
+        "objective_gap_p90": float(np.quantile(gap, 0.9)),
+        "objective_gap_max": float(np.max(gap)),
+        "probe_instances": n,
+        "reference": method,
+    }
+
+
+def _accurate_co_run(res, bench_fn, gap_fn, label_iters):
+    """Attach an ``accurate_*`` co-headline to a mode's JSON: re-time the
+    adaptive (k=2) solver at the same budget and report its objective gap
+    vs the shape's cached f64 reference."""
+    acc = bench_fn()
+    res["accurate_solves_per_s"] = round(acc["value"], 1)
+    res["accurate_pdhg_iters"] = label_iters
+    res["accurate_spread_pct"] = acc.get("spread_pct")
+    res.update({f"accurate_{k}": v for k, v in gap_fn().items()})
+    return res
+
+
 def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
               adaptive=False, probe=True, adapt_every=1):
     import jax
@@ -213,7 +390,8 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
     return res
 
 
-def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
+def bench_scenario(batch, iters, reps, S=16, H=5, N=30, adaptive=False,
+                   adapt_every=1):
     import jax
     import jax.numpy as jnp
 
@@ -221,7 +399,8 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     from kmpc_tpu.ops.mpc_pallas import solve_mpc_log_utility_scenarios_packed
 
     params = MPCParams(max_iters=iters, sigma_scale=2.0,
-                       proj_refresh_every=16)
+                       proj_refresh_every=0 if adaptive else 16,
+                       adaptive=adaptive, adapt_every=adapt_every)
 
     @jax.jit
     def solve(cw, scen):
@@ -247,7 +426,8 @@ def bench_scenario(batch, iters, reps, S=16, H=5, N=30):
     }
 
 
-def bench_markowitz(batch, iters, reps, H=1, N=30, unroll=None):
+def bench_markowitz(batch, iters, reps, H=1, N=30, unroll=None,
+                    adaptive=False, adapt_every=1):
     """Mean-variance (Markowitz) solve throughput on the packed Pallas
     kernel: the rolling-window baseline's per-date program (reference:
     baselines.py:24-106 -> mpc.py:119-184), with per-problem covariance
@@ -259,7 +439,8 @@ def bench_markowitz(batch, iters, reps, H=1, N=30, unroll=None):
     from kmpc_tpu.ops.mpc_pallas import solve_mpc_mean_variance_pallas_packed
 
     params = MPCParams(max_iters=iters, sigma_scale=2.0, gamma=5.0,
-                       proj_refresh_every=16)
+                       proj_refresh_every=0 if adaptive else 16,
+                       adaptive=adaptive, adapt_every=adapt_every)
 
     @jax.jit
     def solve(cw, mu, sig):
@@ -611,6 +792,20 @@ def main():
         res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20,
                         N=30, probe=False)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
+        if not args.quick:
+            res.update(_gap_eval("log", 20, 30, max_iters=args.iters,
+                                 sigma_scale=2.0, feas_tol=2e-4,
+                                 proj_refresh_every=16))
+            _accurate_co_run(
+                res,
+                lambda: bench_mpc(args.batch or 4096, args.iters,
+                                  args.reps, H=20, N=30, probe=False,
+                                  adaptive=True, adapt_every=2),
+                lambda: _gap_eval("log", 20, 30, max_iters=args.iters,
+                                  sigma_scale=2.0, feas_tol=2e-4,
+                                  adaptive=True, adapt_every=2),
+                args.iters,
+            )
     elif args.mode == "assets500":
         # All regimes now use the batch-in-lanes VMEM-resident kernel
         # (1.5x the XLA scan at the headline, 1.7x the assets-in-lanes
@@ -618,9 +813,37 @@ def main():
         res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5,
                         N=500, probe=False)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
+        if not args.quick:
+            res.update(_gap_eval("log", 5, 500, max_iters=args.iters,
+                                 sigma_scale=2.0, feas_tol=2e-4,
+                                 proj_refresh_every=16))
+            _accurate_co_run(
+                res,
+                lambda: bench_mpc(args.batch or 1024, args.iters,
+                                  args.reps, H=5, N=500, probe=False,
+                                  adaptive=True, adapt_every=2),
+                lambda: _gap_eval("log", 5, 500, max_iters=args.iters,
+                                  sigma_scale=2.0, feas_tol=2e-4,
+                                  adaptive=True, adapt_every=2),
+                args.iters,
+            )
     elif args.mode == "scenario":
         res = bench_scenario(args.batch or 4096, args.iters, args.reps)
         metric = "scenario_kelly_solves_per_s_per_chip_S16_H5_N30"
+        if not args.quick:
+            res.update(_gap_eval("scenario", 5, 30, S=16,
+                                 max_iters=args.iters, sigma_scale=2.0,
+                                 proj_refresh_every=16))
+            _accurate_co_run(
+                res,
+                lambda: bench_scenario(args.batch or 4096, args.iters,
+                                       args.reps, adaptive=True,
+                                       adapt_every=2),
+                lambda: _gap_eval("scenario", 5, 30, S=16,
+                                  max_iters=args.iters, sigma_scale=2.0,
+                                  adaptive=True, adapt_every=2),
+                args.iters,
+            )
     elif args.mode == "backtest":
         res = bench_backtest(args.reps)
         metric = "parallel_backtest_dates_per_s_4096dates_N30_H5"
@@ -631,6 +854,20 @@ def main():
         res = bench_markowitz(args.batch or 4096, args.iters, args.reps,
                               unroll=args.mv_unroll)
         metric = "mean_variance_solves_per_s_per_chip_H1_N30"
+        if not args.quick:
+            res.update(_gap_eval("mv", 1, 30, max_iters=args.iters,
+                                 sigma_scale=2.0, gamma=5.0,
+                                 proj_refresh_every=16))
+            _accurate_co_run(
+                res,
+                lambda: bench_markowitz(args.batch or 4096, args.iters,
+                                        args.reps, adaptive=True,
+                                        adapt_every=2),
+                lambda: _gap_eval("mv", 1, 30, max_iters=args.iters,
+                                  sigma_scale=2.0, gamma=5.0,
+                                  adaptive=True, adapt_every=2),
+                args.iters,
+            )
     elif args.mode == "scaling":
         res = bench_scaling(args.batch or 4096, args.iters, args.reps,
                             n_devices=args.devices)

@@ -223,6 +223,17 @@ class MPCSolverConfig:
                                  # Honored by solve_mpc_log_utility and
                                  # mpc_polish.solve_mpc_log_utility_batch_polished.
     POLISH_NEWTON: int = 4       # damped Newton steps per polish
+    PRECOND: bool = False        # per-horizon-row diagonal (Pock-Chambolle
+                                 # style) step preconditioning: boundary
+                                 # rows of the difference operator get ~2x
+                                 # steps, primal steps use the per-row
+                                 # curvature bound (see MPCParams.precond)
+    PIPELINE_REDUCES: bool = False  # packed kernel + PROJ_REFRESH_EVERY>1:
+                                 # consume the previous iteration's Michelot
+                                 # sweep (one-iteration-stale thresholds) so
+                                 # the MXU reduce round-trips leave the
+                                 # critical path (see
+                                 # MPCParams.pipeline_reduces)
     PROJ_REFRESH_EVERY: int = 0  # >1: packed kernel runs 1 warm Michelot sweep
                                  # per PDHG iteration + a full-budget refresh
                                  # every k-th (~1.1x solver speed, ~5e-5

@@ -111,6 +111,39 @@ class MPCParams:
                               # measured-dead-end proj_refresh_every
                               # composition, nothing touches prox accuracy.
                               # 1 = balance every iteration (round-2 behavior).
+    precond: bool = False     # Pock-Chambolle-style diagonal (per-horizon-
+                              # row) preconditioning: dual steps scaled by
+                              # the difference operator's row degrees
+                              # (sigma_t = 2*sigma/rowdeg_t: the t=0 row
+                              # differences against the CONSTANT w_init, so
+                              # its degree is 1 and it gets a 2x step) and
+                              # primal steps by the per-row curvature bound
+                              # L_t plus the column degrees
+                              # (tau_t = 1/(L_t/2 + 2*sigma0*coldeg_t): the
+                              # smooth term is separable over horizon rows,
+                              # so the Condat-Vu condition is row-wise and
+                              # the per-row Lipschitz bound is valid; the
+                              # t=H-1 column appears in one difference row
+                              # only). Interior rows reproduce the uniform
+                              # steps exactly. See RESULTS.md for the
+                              # measured accuracy-per-iteration effect.
+    pipeline_reduces: bool = False  # packed kernel only, with
+                              # proj_refresh_every > 1: consume the
+                              # PREVIOUS iteration's Michelot sweep for
+                              # this iteration's projection thresholds and
+                              # ball-membership l1 (one-iteration-stale, the
+                              # same trailing-threshold idea the refresh
+                              # schedule already proved safe), so the
+                              # reduce -> threshold dependence chain — the
+                              # N=500 kernel's binding critical path, with
+                              # an MXU staging round-trip per reduce — moves
+                              # OFF the critical path: each iteration's
+                              # reduces overlap the downstream elementwise
+                              # work and are consumed next iteration. The
+                              # periodic full refresh re-synchronizes the
+                              # thresholds from the CURRENT iterate.
+                              # Ignored by the XLA solvers and under
+                              # ``adaptive`` (like proj_refresh_every).
     proj_refresh_every: int = 0  # >1: run ONE warm Michelot sweep per PDHG
                               # iteration and the full proj_warm_iters budget
                               # every k-th iteration (packed kernel only).
@@ -231,6 +264,40 @@ def _adaptive_update(i, params, w, w_new, p, p_new, tau_c, sig_c, alpha_c):
     )
 
 
+def _pdhg_steps(Lt: jax.Array, params: "MPCParams"):
+    """Condat-Vu step sizes from per-row curvature bounds ``Lt`` [..., H].
+
+    Default (uniform): L = max_t L_t, sigma = s0 = sigma_scale*sqrt(L)/2,
+    tau = step_scale/(L/2 + 4*s0) with ||D||^2 <= 4 — shapes [..., 1, 1].
+
+    ``params.precond`` (Pock-Chambolle-style diagonal over the horizon
+    axis, shapes [..., H, 1]): with sigma_t = sigma0/rowdeg_t the
+    row-wise Cauchy-Schwarz bound gives
+    x' D' S D x <= sigma0 * sum_t coldeg_t ||x_t||^2, and the smooth
+    term is SEPARABLE over horizon rows, so the Condat-Vu inequality
+    holds row-wise with 1/tau_t = L_t/2 + sigma0*coldeg_t using the
+    per-row Lipschitz bound. rowdeg_0 = 1 (the t=0 difference is against
+    the constant w_init) and coldeg_{H-1} = 1 (the last weights appear
+    in one difference row), so the boundary rows get ~2x steps; interior
+    rows reproduce the uniform steps exactly at sigma0 = 2*s0.
+    """
+    H = Lt.shape[-1]
+    dt = Lt.dtype
+    L = jnp.max(Lt, axis=-1)[..., None, None]
+    s0 = params.sigma_scale * jnp.sqrt(L) / 2.0
+    if not params.precond:
+        return params.step_scale / (0.5 * L + s0 * 4.0), s0
+    rowdeg = jnp.concatenate(
+        [jnp.ones((1,), dt), jnp.full((H - 1,), 2.0, dt)]
+    )[..., None]                                            # [H, 1]
+    coldeg = jnp.concatenate(
+        [jnp.full((H - 1,), 2.0, dt), jnp.ones((1,), dt)]
+    )[..., None]
+    sigma = 2.0 * s0 / rowdeg
+    tau = params.step_scale / (0.5 * Lt[..., None] + 2.0 * s0 * coldeg)
+    return tau, sigma
+
+
 def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
     """Build MPCParams from a Config's MPC section (kwargs override)."""
     base = dict(
@@ -244,6 +311,8 @@ def mpc_params_from_config(cfg, **overrides) -> "MPCParams":
         over_relax=cfg.MPC.SOLVER.OVER_RELAX,
         adaptive=cfg.MPC.SOLVER.ADAPTIVE,
         adapt_every=cfg.MPC.SOLVER.ADAPT_EVERY,
+        precond=cfg.MPC.SOLVER.PRECOND,
+        pipeline_reduces=cfg.MPC.SOLVER.PIPELINE_REDUCES,
         proj_refresh_every=cfg.MPC.SOLVER.PROJ_REFRESH_EVERY,
         polish=cfg.MPC.SOLVER.POLISH,
         polish_newton=cfg.MPC.SOLVER.POLISH_NEWTON,
@@ -337,16 +406,12 @@ def solve_mpc_log_utility_batch(
     r = jnp.exp(predicted_log_returns)                   # gross returns
     w_init = current_weights.astype(dtype)
 
-    # Per-problem Lipschitz bound of grad g on the simplex.
+    # Per-problem (per-row under ``precond``) Lipschitz bound of grad g
+    # on the simplex.
     r_norm2 = jnp.sum(r * r, axis=-1)                    # [..., H]
     r_min = jnp.min(r, axis=-1)                          # [..., H]
-    L = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)  # [...]
-    L = L[..., None, None] + params.ridge
-
-    # ||D||^2 <= 4 for the forward-difference operator.
-    d_norm2 = 4.0
-    sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
-    tau_p = params.step_scale / (0.5 * L + sigma * d_norm2)
+    Lt = r_norm2 / jnp.maximum(r_min, 1e-12) ** 2 + params.ridge
+    tau_p, sigma = _pdhg_steps(Lt, params)   # [..., 1 or H, 1]
 
     c = params.cost_coeff
     tau_to = params.max_turnover
@@ -418,14 +483,14 @@ def solve_mpc_log_utility_batch(
         return (w_new, p_new, th_w, th_p, tau_c, sig_c, alpha_c), None
 
     th0 = jnp.zeros(th_shape, dtype)
-    alpha0 = jnp.full(jnp.shape(L), 0.5, dtype)
+    alpha0 = jnp.full(jnp.shape(tau_p), 0.5, dtype)
     xs = (jnp.arange(params.max_iters)
           if params.adaptive and params.adapt_every > 1 else None)
     (w, p, _, _, tau_f, sig_f, _), _ = jax.lax.scan(
         body,
         (w0, p0, th0, th0,
-         jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
-         jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype), alpha0),
+         tau_p.astype(dtype),
+         jnp.broadcast_to(sigma, jnp.shape(tau_p)).astype(dtype), alpha0),
         xs, length=params.max_iters,
     )
 

@@ -269,8 +269,27 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # Mean over scenarios of the per-scenario (max over H) bound.
             L = jnp.mean(jnp.max(ratio, axis=1), axis=0,
                          keepdims=True) + ridge                    # [1,1,TB]
-        sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
-        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+        if params.precond:
+            # Per-horizon-row diagonal steps (ops/mpc.py::_pdhg_steps):
+            # sigma_t = 2*s0/rowdeg_t, tau_t = 1/(L_t/2 + 2*s0*coldeg_t)
+            # — identical math to the XLA solvers; the step constants
+            # become [H, 1, TB] instead of [1, 1, TB], which costs
+            # nothing in the full-width [H, NP, TB] body broadcasts.
+            Lt = (ratio if S is None else jnp.mean(ratio, axis=0)) + ridge
+            # Global scale from max_t of the per-row bound — the same
+            # quantity _pdhg_steps uses (for S: max-of-mean, not the
+            # uniform path's mean-of-max), so kernel<->XLA parity holds.
+            s0 = params.sigma_scale * jnp.sqrt(
+                jnp.max(Lt, axis=0, keepdims=True)
+            ) / 2.0
+            hrow = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+            rowdeg = jnp.where(hrow == 0, 1.0, 2.0).astype(r.dtype)
+            coldeg = jnp.where(hrow == H - 1, 1.0, 2.0).astype(r.dtype)
+            sigma = 2.0 * s0 / rowdeg                              # [H,1,TB]
+            tau_p = params.step_scale / (0.5 * Lt + 2.0 * s0 * coldeg)
+        else:
+            sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+            tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
         # q-scale dual-prox constant (see prox_phi_conj): the turnover
         # radius and the carried threshold live on sigma-times-a scale,
         # so the prox never materializes v = q/sigma or sigma*inner —
@@ -474,6 +493,72 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
             return body
 
+        def make_body_pipe(refresh):
+            # PIPELINED REDUCES (round 5): the refresh-schedule body with
+            # the reduce -> threshold dependence chain broken. Off-refresh
+            # iterations project with the CARRIED thresholds and carried
+            # ball-membership l1 (computed from the PREVIOUS iteration's
+            # pre-projection values — one extra step of the same trailing
+            # lag proj_refresh_every already introduces), then issue this
+            # iteration's sweep reduces whose results ride the carry to
+            # iteration i+1. The MXU staging round-trips (the N=500
+            # kernel's measured critical path, RESULTS.md roofline) thus
+            # overlap the downstream elementwise work instead of gating
+            # the projection. Refresh iterations re-converge the
+            # thresholds synchronously from the current values, bounding
+            # the drift exactly as the refresh schedule does.
+            def body(i, carry):
+                w, p, th_w, th_p, l1s = carry
+                pred = (i % refresh) == 0
+                vm = primal_pre(w, p) + nm
+                th_use = jax.lax.cond(
+                    pred,
+                    lambda a: _packed_threshold(
+                        a[0], 1.0, warm_iters, theta0=a[1],
+                        n_valid=float(N),
+                    ),
+                    lambda a: a[1],
+                    (vm, th_w),
+                )
+                w_new = jnp.maximum(vm - th_use, 0.0)
+                # Next iteration's threshold: one Newton sweep on the
+                # CURRENT vm, consumed at i+1 (off the critical path).
+                active = vm > th_use
+                cnt, s = _sum_assets2(
+                    active.astype(vm.dtype), jnp.where(active, vm, 0.0)
+                )
+                th_w_next = (s - 1.0) / jnp.maximum(cnt, 1.0)
+                w_bar = 2.0 * w_new - w
+                q = p + sigma * apply_D(w_bar)
+                aq = jnp.maximum(jnp.abs(q) - c, 0.0)
+                if use_ball:
+                    aqm = aq + nm
+                    th_p_use = jax.lax.cond(
+                        pred,
+                        lambda a: _packed_threshold(
+                            a[0], sig_tau, warm_iters, theta0=a[1],
+                            n_valid=float(N),
+                        ),
+                        lambda a: a[1],
+                        (aqm, th_p),
+                    )
+                    bound = c + jnp.where(
+                        l1s <= sig_tau, 0.0, jnp.maximum(th_p_use, 0.0)
+                    )
+                    p_new = jnp.clip(q, -bound, bound)
+                    l1_next, th_p_next = _ball_l1_and_sweep(
+                        aqm, aq, sig_tau, th_p_use
+                    )
+                else:
+                    p_new = jnp.clip(q, -c, c)
+                    l1_next, th_p_next = l1s, th_p
+                if rho != 1.0:
+                    w_new = w + rho * (w_new - w)
+                    p_new = p + rho * (p_new - p)
+                return (w_new, p_new, th_w_next, th_p_next, l1_next)
+
+            return body
+
         def body_adaptive(i, carry, do_bal=None):
             # Residual-balancing adaptive steps (ops/mpc.py body's
             # params.adaptive branch, same constants): tau/sigma become
@@ -552,15 +637,14 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 return _balance_steps(pr, dr, tau_c, sig_c, alpha_c)
 
             bal_args = (w - w_new, p - p_new, tau_c, sig_c, alpha_c)
-            if do_bal is None:          # fori body: schedule by index
-                if params.adapt_every <= 1:
-                    tau_c, sig_c, alpha_c = _bal(bal_args)
-                else:
-                    tau_c, sig_c, alpha_c = jax.lax.cond(
-                        (i % params.adapt_every)
-                        == params.adapt_every - 1,
-                        _bal, lambda a: (a[2], a[3], a[4]), bal_args,
-                    )
+            if do_bal is None:
+                # fori body — only the adapt_every <= 1 path reaches it
+                # (adapt_every > 1 always compiles the block-unrolled
+                # schedule below), so balance unconditionally. A
+                # per-iteration lax.cond here is a measured dead end:
+                # passing the full-width dw/dp operands through the cond
+                # boundary costs what the skipped reductions save.
+                tau_c, sig_c, alpha_c = _bal(bal_args)
             elif do_bal:                # block-unrolled: static choice
                 tau_c, sig_c, alpha_c = _bal(bal_args)
             if rho != 1.0:
@@ -597,6 +681,11 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 w, p, _, _, tau_f, _, _ = jax.lax.fori_loop(
                     0, params.max_iters, body_adaptive, carry_a,
                 )
+        elif warm and refresh > 1 and params.pipeline_reduces:
+            carry_p = carry0 + (jnp.zeros_like(th_w0),)   # stale l1 seed
+            w, p, _, _, _ = jax.lax.fori_loop(
+                0, params.max_iters, make_body_pipe(refresh), carry_p
+            )
         elif warm and refresh > 1:
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, make_body_cond(refresh), carry0

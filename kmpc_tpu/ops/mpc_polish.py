@@ -574,7 +574,21 @@ def _solve_restricted_primal(w_start, cw, r, S, A, sgn, Bm, params,
     is unique (ridge strong convexity on an affine set); redundant
     constraint rows only leave the multipliers underdetermined, which
     the min-norm lstsq step handles.
+
+    Runs under ``jax.enable_x64`` regardless of the caller's config: the
+    1e-15/1e-11 acceptance thresholds below are unreachable in float32,
+    so without the pin a direct caller outside the batch_polished x64
+    context would get a silently ineffective refinement (round-4
+    ADVICE).
     """
+    with jax.enable_x64(True):
+        return _solve_restricted_primal_x64(
+            w_start, cw, r, S, A, sgn, Bm, params, steps
+        )
+
+
+def _solve_restricted_primal_x64(w_start, cw, r, S, A, sgn, Bm, params,
+                                 steps):
     H, N = r.shape
     m = H * N
     Fj, Jf = _restricted_primal_solver(
@@ -680,7 +694,14 @@ def _dual_slack_lp(grad, S, A, sgn, Bm, c):
 
 def _pair_residual(w, q, r, cw, params):
     """PDHG fixed-point residual of an (w, q) candidate pair — the same
-    quantity polish_log_utility certifies (same step-size constants)."""
+    quantity polish_log_utility certifies (same step-size constants).
+    Pinned to x64 (certificate precision is meaningless in f32 — see
+    _solve_restricted_primal)."""
+    with jax.enable_x64(True):
+        return _pair_residual_x64(w, q, r, cw, params)
+
+
+def _pair_residual_x64(w, q, r, cw, params):
     rn = np.sum(r * r, -1)
     rm = np.min(r, -1)
     L = float(np.max(rn / np.maximum(rm, 1e-12) ** 2)) + params.ridge
@@ -741,9 +762,20 @@ def _boundary_refine_instance(w, p, cw, y, params):
     # or hold-throughout (H). Pre-screened by the slack LP at the
     # ITERATE's gradient (the iterate is within ~1e-8 of the optimum, so
     # the screen's constants are 1e-8-accurate against slacks ~1e-4).
+    # The TOTAL candidate count is capped (round-4 ADVICE): the |micro|
+    # cap alone leaves (H+1)^4 LPs — ~194k at H=20. Above the cap only
+    # the first few sell dates plus "never" are enumerated (dust sells,
+    # when optimal at all, happen immediately — later dates pay the
+    # same cost for strictly less horizon benefit). The cap is chosen
+    # so the measured H=5 family's full enumeration (6^4 = 1296) is
+    # unchanged.
     from itertools import product as _product
 
-    sell_options = list(_product(range(H + 1), repeat=len(micro))) \
+    date_opts = list(range(H + 1))
+    if micro.size and len(date_opts) ** len(micro) > 1536:
+        keep = max(2, int(1536 ** (1.0 / len(micro))))
+        date_opts = list(range(keep - 1)) + [H]
+    sell_options = list(_product(date_opts, repeat=len(micro))) \
         if micro.size else [()]
     screened = []
     for opt in sell_options:
@@ -828,6 +860,18 @@ def _interior_point_instance(cw, y, params, iters_per_mu=12):
     c = params.cost_coeff
     tau_to = params.max_turnover
     if tau_to <= 0 or params.allow_short:
+        return None
+    if H * N > 256:
+        # Size gate (round-4 ADVICE): the dense KKT is
+        # [(3HN+H)+(HN+2H)]^2 per Newton step — a single N=500/H=5
+        # straggler would mean ~10k-square f64 factorizations (GBs,
+        # hours). The polish module's documented envelope is
+        # H*N <= ~256; above it, skip rather than hang the pipeline.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "interior-point fallback skipped: H*N = %d > 256", H * N
+        )
         return None
     m = H * N
     nx = 3 * m + H
@@ -916,6 +960,223 @@ def _interior_point_instance(cw, y, params, iters_per_mu=12):
     if not np.all(np.isfinite(x)):
         return None
     return x[:m].reshape(H, N), yv[:m].reshape(H, N)
+
+
+# ---------------------------------------------------------------------------
+# Extended-precision polish (round 5)
+# ---------------------------------------------------------------------------
+#
+# The last uncertified class (the equal-weight maximal-tie instance —
+# every backtest's FIRST solve, reference: backtest.py:160-161 — plus
+# near-tie stragglers) parks at a ~1.5e-10..3e-9 residual attractor
+# under every float64 stage: semismooth Newton from any start
+# (including the interior-point analytic center) lands on the same
+# floor. The round-5 diagnosis: on the maximal-tie face the generalized
+# Jacobian's conditioning is ~1e9-1e10, so a float64 Newton step's
+# forward error is eps_f64 * cond ~ 1e-7..1e-6 relative — the iteration
+# cannot RESOLVE steps below ~1e-9 even when the model is right. That
+# is a precision floor, not a combinatorial obstruction, so the fix is
+# arithmetic, not another pattern search: re-run the same kink-aware
+# semismooth Newton in 80-bit extended precision (numpy longdouble,
+# eps ~ 1.1e-19 — three more decimal digits), where the same
+# conditioning floors at ~1e-12..1e-10 TRUE residual. The refined point
+# rounded back to float64 then evaluates the standard f64 certificate
+# residual at ~1e-13 (evaluation error of the residual map at the exact
+# optimum is O(N * eps_f64) ~ 1e-15, far below the 1e-10 bar).
+#
+# Everything is plain vectorized numpy longdouble: exact sort-based
+# projections (the finite Michelot/Held algorithm, no iteration-count
+# concerns), the same generalized-Jacobian elements as
+# polish_log_utility (nominal + EXPAND/SHRINK kink flips), dense J
+# assembled by applying the Jacobian action to the identity, and an
+# in-house partial-pivot LU (LAPACK has no longdouble path). Cost is
+# O((2HN)^3) longdouble per Newton round — milliseconds at the H=5/N=20
+# realistic family, gated to H*N <= 1024.
+
+
+def _ld_simplex_threshold(v, radius):
+    """Exact simplex-projection threshold per trailing row (sort-based
+    Held/Duchi algorithm — finite, no fixed-point iteration), any float
+    dtype. Returns theta with shape v.shape[:-1] + (1,)."""
+    s = np.sort(v, axis=-1)[..., ::-1]
+    cs = np.cumsum(s, axis=-1)
+    k = np.arange(1, v.shape[-1] + 1, dtype=v.dtype)
+    active = s - (cs - radius) / k > 0
+    rho = np.maximum(np.sum(active, axis=-1, keepdims=True), 1)
+    cs_r = np.take_along_axis(cs, rho - 1, axis=-1)
+    return (cs_r - radius) / rho.astype(v.dtype)
+
+
+def _ld_lu_solve(A, b):
+    """Partial-pivot LU solve in the matrix dtype (vectorized numpy;
+    used for longdouble, which LAPACK does not support)."""
+    A = A.copy()
+    b = b.copy()
+    n = A.shape[0]
+    for k in range(n - 1):
+        piv = k + int(np.argmax(np.abs(A[k:, k])))
+        if piv != k:
+            A[[k, piv]] = A[[piv, k]]
+            b[[k, piv]] = b[[piv, k]]
+        akk = A[k, k]
+        if akk == 0:
+            akk = np.finfo(A.dtype).tiny
+        f = A[k + 1:, k] / akk
+        A[k + 1:, k + 1:] -= f[:, None] * A[k, k + 1:]
+        b[k + 1:] -= f * b[k]
+    x = np.zeros_like(b)
+    for k in range(n - 1, -1, -1):
+        akk = A[k, k]
+        if akk == 0:
+            akk = np.finfo(A.dtype).tiny
+        x[k] = (b[k] - A[k, k + 1:] @ x[k + 1:]) / akk
+    return x
+
+
+def _extended_polish_instance(w, p, cw, y, params, rounds=30,
+                              kink_scale=3.0):
+    """Kink-aware semismooth Newton on ONE instance in 80-bit
+    longdouble (see the section comment above). Inputs float64
+    ([H, N] / [N]); returns (w, q) rounded to float64, or None when the
+    instance is out of the supported surface. The caller accepts via
+    the standard f64 ``_pair_residual`` comparison, so a failed refine
+    is harmless."""
+    if params.allow_short or params.max_turnover <= 0:
+        return None
+    H, N = y.shape
+    if H * N > 1024:
+        return None
+    ld = np.longdouble
+    r = np.exp(np.asarray(y, ld))
+    cw = np.asarray(cw, ld)
+    w = np.asarray(w, ld)
+    q = np.asarray(p, ld)
+    ridge = ld(params.ridge)
+    c = ld(params.cost_coeff)
+    tau_to = ld(params.max_turnover)
+    one = ld(1.0)
+
+    # Step-size constants, matching polish_log_utility / _pair_residual.
+    L = np.max(np.sum(r * r, -1) / np.min(r, -1) ** 2) + ridge
+    sigma = ld(params.sigma_scale) * np.sqrt(L) / 2
+    tau = ld(params.step_scale) / (L / 2 + sigma * 4)
+
+    zrow = np.zeros((1, N), ld)
+
+    def D(x):
+        return x - np.vstack([cw[None], x[:-1]])
+
+    def D0(x):
+        return x - np.vstack([zrow, x[:-1]])
+
+    def Dt(x):
+        return x - np.vstack([x[1:], zrow])
+
+    def residual(w, q):
+        port = (w * r).sum(-1, keepdims=True)
+        grad = -r / port + ridge * w
+        vw = w - tau * (grad + Dt(q))
+        mw = vw - _ld_simplex_threshold(vw, one)
+        Pw = np.maximum(mw, 0)
+        vp = q + sigma * D(w)
+        u = vp / sigma
+        ms = np.abs(u) - c / sigma
+        yv = np.sign(u) * np.maximum(ms, 0)
+        a = np.abs(yv)
+        mo = a.sum(-1, keepdims=True) - tau_to
+        th = np.maximum(_ld_simplex_threshold(a, tau_to), 0)
+        ma = a - th
+        z = np.where(mo > 0, np.sign(yv) * np.maximum(ma, 0), yv)
+        Qp = vp - sigma * z
+        dir_ = np.where(yv != 0, np.sign(yv), np.sign(u))
+        marg = {"mw": mw, "ms": ms, "ma": ma, "mo": mo, "dir": dir_,
+                "port": port}
+        return w - Pw, q - Qp, marg
+
+    def norm(Rw, Rp):
+        return np.sqrt((Rw * Rw).sum() + (Rp * Rp).sum())
+
+    m = H * N
+
+    def dense_J(marg, eps):
+        a_m = (marg["mw"] > eps).astype(ld)
+        s_m = (marg["ms"] > eps).astype(ld)
+        outside = (marg["mo"] > eps).astype(ld)
+        act = (marg["ma"] > eps) * outside + s_m * (1 - outside)
+        sgn = marg["dir"] * act * outside
+        port = marg["port"]
+        cnt_a = np.maximum(a_m.sum(-1, keepdims=True), 1)
+        cnt_s = np.maximum(act.sum(-1, keepdims=True), 1)
+
+        # Apply J to the identity, batched over a leading basis axis.
+        eye = np.eye(2 * m, dtype=ld)
+        xw = eye[:, :m].reshape(2 * m, H, N)
+        xp = eye[:, m:].reshape(2 * m, H, N)
+        coeff = (r * xw).sum(-1, keepdims=True) / port ** 2
+        hg = r * coeff + ridge * xw
+        dtxp = xp - np.concatenate([xp[:, 1:], np.zeros((2 * m, 1, N), ld)],
+                                   axis=1)
+        dvw = xw - tau * (hg + dtxp)
+        ad = a_m * dvw
+        Pj = ad - a_m * (ad.sum(-1, keepdims=True) / cnt_a)
+        Jw = xw - Pj
+        dxw = xw - np.concatenate([np.zeros((2 * m, 1, N), ld), xw[:, :-1]],
+                                  axis=1)
+        dvp = xp + sigma * dxw
+        sx = s_m * dvp
+        proj = act * sx - sgn * ((sgn * sx).sum(-1, keepdims=True) / cnt_s)
+        Bj = np.where(outside > 0, proj, sx)
+        Jp = xp - (dvp - Bj)
+        cols = np.concatenate(
+            [Jw.reshape(2 * m, m), Jp.reshape(2 * m, m)], axis=1
+        )
+        return cols.T                                     # [2m out, 2m in]
+
+    Rw, Rp, marg = residual(w, q)
+    res = norm(Rw, Rp)
+    alphas = tuple(one / ld(2) ** k for k in range(14))
+    for _ in range(rounds):
+        if not np.isfinite(res) or res < ld(1e-16):
+            break
+        eps0 = min(kink_scale * res, ld(1e-3))
+        w_best, q_best, res_best = w, q, res
+        rhs = -np.concatenate([Rw.ravel(), Rp.ravel()])
+        for eps in (ld(0), -eps0, eps0):
+            J = dense_J(marg, eps)
+            # Two step candidates per element: a lightly-damped LU (the
+            # superlinear step when J is well-posed at the current
+            # pattern) and a residual-scaled Tikhonov/normal-equations
+            # step (an approximate min-norm step that stays bounded when
+            # J is singular along boundary-degenerate directions — the
+            # exact failure mode of the tie class).
+            deltas = []
+            lam = max(res * ld(0.1), ld(1e-18))
+            Jd = J.copy()
+            Jd[np.arange(2 * m), np.arange(2 * m)] += lam
+            deltas.append(_ld_lu_solve(Jd, rhs))
+            mu = max(res * ld(1e-3), ld(1e-18)) ** 2
+            JtJ = J.T @ J
+            JtJ[np.arange(2 * m), np.arange(2 * m)] += mu
+            deltas.append(_ld_lu_solve(JtJ, J.T @ rhs))
+            for delta in deltas:
+                if not np.all(np.isfinite(delta)):
+                    continue
+                dw = delta[:m].reshape(H, N)
+                dq = delta[m:].reshape(H, N)
+                for alpha in alphas:
+                    wt = w + alpha * dw
+                    qt = q + alpha * dq
+                    Rwt, Rpt, _mt = residual(wt, qt)
+                    rt = norm(Rwt, Rpt)
+                    if np.isfinite(rt) and rt < res_best:
+                        w_best, q_best, res_best = wt, qt, rt
+                        break   # largest improving step for this delta
+        if res_best >= res * ld(0.999999999):
+            break
+        w, q, res = w_best, q_best, res_best
+        Rw, Rp, marg = residual(w, q)
+
+    return np.asarray(w, np.float64), np.asarray(q, np.float64)
 
 
 def polish_log_utility(
@@ -1206,6 +1467,11 @@ def polish_log_utility(
         "residual_after": res_f,
         "accepted": accepted_any,
         "dual": p_out,
+        # The PRE-projection Newton iterate: the point residual_after
+        # actually describes. The extended-precision stage continues
+        # from it (the projected w_out sits ~tau*grad away, orders
+        # above the straggler attractor it needs to descend from).
+        "w_iterate": jnp.where(accepted_any[..., None, None], w_cur, w),
     }
     return w_out, info
 
@@ -1272,11 +1538,14 @@ def solve_mpc_log_utility_batch_polished(
         p_cur = jnp.asarray(p_np)
         cont = replace(params, max_iters=continue_iters)
         pol_info = None
+        w_it = w_cur        # pre-projection Newton iterate (tracked for
+                            # the extended-precision stage)
         for cycle in range(max(1, cycles)):
             w_cur, pol_info = polish_log_utility(
                 w_cur, p_cur, cw64, y64, params,
                 num_newton=params.polish_newton,
             )
+            w_it = pol_info["w_iterate"]
             # Thread the Newton rounds' dual progress into the
             # continuation (restarting from the pre-polish dual would
             # re-derive work each PDHG continuation already paid for).
@@ -1330,6 +1599,9 @@ def solve_mpc_log_utility_batch_polished(
                     break
             w_cur = wf.at[bad].set(w_b).reshape(shp)
             p_cur = pf.at[bad].set(p_b).reshape(shp)
+            w_it = w_it.reshape((-1,) + shp[-2:]).at[bad].set(
+                tinfo["w_iterate"]
+            ).reshape(shp)
             new_res = jnp.asarray(flat_res).at[bad].set(res_b)
             pol_info = dict(pol_info)
             pol_info["residual_after"] = new_res.reshape(res_np.shape)
@@ -1377,6 +1649,11 @@ def solve_mpc_log_utility_batch_polished(
                     wf = wf.at[b].set(jnp.asarray(out[0]))
                     pf = pf.at[b].set(jnp.asarray(out[1]))
                     new_res[b] = out[2]
+                    # The refined (w, q) pair IS the point new_res
+                    # describes — track it as the iterate.
+                    w_it = w_it.reshape((-1,) + shp[-2:]).at[b].set(
+                        jnp.asarray(out[0])
+                    ).reshape(shp)
             w_cur = wf.reshape(shp)
             p_cur = pf.reshape(shp)
             pol_info = dict(pol_info)
@@ -1435,6 +1712,57 @@ def solve_mpc_log_utility_batch_polished(
                     wf = wf.at[bdx].set(w_ip[0])
                     pf = pf.at[bdx].set(p_ip[0])
                     new_res[bdx] = r_ip
+                    w_it = w_it.reshape((-1,) + shp[-2:]).at[bdx].set(
+                        ipinfo["w_iterate"][0]
+                    ).reshape(shp)
+            w_cur = wf.reshape(shp)
+            p_cur = pf.reshape(shp)
+            pol_info = dict(pol_info)
+            pol_info["residual_after"] = jnp.asarray(new_res).reshape(
+                res_np.shape
+            )
+            pol_info["dual"] = p_cur
+            pol_info["accepted"] = pol_info["accepted"] | (
+                pol_info["residual_after"] < pol_info["residual_before"]
+            )
+        # EXTENDED-PRECISION POLISH (round 5): the arithmetic last
+        # resort. The residual attractor of the remaining tie-class
+        # stragglers (~1.5e-10..3e-9 under EVERY f64 stage, from any
+        # start) is a float64 conditioning floor — cond of the
+        # generalized Jacobian on the maximal-tie face is ~1e9-1e10, so
+        # f64 Newton steps cannot resolve below eps_f64 * cond. The same
+        # kink-aware semismooth Newton in 80-bit longdouble
+        # (_extended_polish_instance) resolves three more digits; the
+        # refined point rounded to f64 then evaluates the standard f64
+        # certificate residual (_pair_residual) below the 1e-10 bar.
+        res_np = np.asarray(pol_info["residual_after"])
+        flat_res = res_np.reshape(-1)
+        bad = np.where(flat_res > 1e-11)[0]
+        if 0 < bad.size <= max(16, flat_res.size // 4):
+            shp = w_cur.shape
+            wf = w_cur.reshape((-1,) + shp[-2:])
+            pf = p_cur.reshape((-1,) + shp[-2:])
+            cwf = np.asarray(cw64).reshape(-1, shp[-1])
+            yf = np.asarray(y64).reshape((-1,) + shp[-2:])
+            rf = np.exp(yf)
+            wi = np.asarray(w_it.reshape((-1,) + shp[-2:]))
+            new_res = flat_res.copy()
+            for bdx in bad:
+                # Start from the PRE-projection Newton iterate — the
+                # point residual_after describes (the projected output
+                # sits ~tau*grad away from the straggler attractor).
+                out = _extended_polish_instance(
+                    wi[bdx], np.asarray(pf[bdx]),
+                    cwf[bdx], yf[bdx], params,
+                )
+                if out is None:
+                    continue
+                r_x = _pair_residual(out[0], out[1], rf[bdx], cwf[bdx],
+                                     params)
+                if np.isfinite(r_x) and r_x < new_res[bdx]:
+                    wf = wf.at[bdx].set(jnp.asarray(out[0]))
+                    pf = pf.at[bdx].set(jnp.asarray(out[1]))
+                    new_res[bdx] = r_x
             w_cur = wf.reshape(shp)
             p_cur = pf.reshape(shp)
             pol_info = dict(pol_info)

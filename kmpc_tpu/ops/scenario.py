@@ -32,6 +32,7 @@ from kmpc_tpu.ops.mpc import (
     _adaptive_update,
     _apply_D,
     _apply_Dt,
+    _pdhg_steps,
     _status_code,
     reject_unhonored_polish,
     restore_turnover_feasibility,
@@ -135,14 +136,21 @@ def solve_mpc_log_utility_scenarios(
     target_shape = (*scenario_log_returns.shape[:-3],
                     *scenario_log_returns.shape[-2:])     # [..., H, N]
 
-    # Lipschitz bound: average of per-scenario bounds.
+    # Lipschitz bound: average of per-scenario bounds (the smooth term's
+    # Hessian is the scenario MEAN of per-scenario Hessians).
     r_norm2 = jnp.sum(r * r, axis=-1)
     r_min = jnp.min(r, axis=-1)
-    L_s = jnp.max(r_norm2 / jnp.maximum(r_min, 1e-12) ** 2, axis=-1)  # [..., S]
-    L = jnp.mean(L_s, axis=-1)[..., None, None] + params.ridge
-
-    sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
-    tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
+    ratio = r_norm2 / jnp.maximum(r_min, 1e-12) ** 2       # [..., S, H]
+    if params.precond:
+        # Per-horizon-row diagonal steps (see ops/mpc.py::_pdhg_steps);
+        # the per-row bound is the scenario mean of per-scenario rows.
+        Lt = jnp.mean(ratio, axis=-2) + params.ridge       # [..., H]
+        tau_p, sigma = _pdhg_steps(Lt, params)
+    else:
+        L = (jnp.mean(jnp.max(ratio, axis=-1), axis=-1)[..., None, None]
+             + params.ridge)
+        sigma = params.sigma_scale * jnp.sqrt(L) / 2.0
+        tau_p = params.step_scale / (0.5 * L + sigma * 4.0)
     c = params.cost_coeff
     tau_to = params.max_turnover
     use_ball = tau_to > 0
@@ -212,9 +220,9 @@ def solve_mpc_log_utility_scenarios(
     (w, p, _, _, tau_f, _, _), _ = jax.lax.scan(
         body,
         (w0, p0, th0, th0,
-         jnp.broadcast_to(tau_p, jnp.shape(L)).astype(dtype),
-         jnp.broadcast_to(sigma, jnp.shape(L)).astype(dtype),
-         jnp.full(jnp.shape(L), 0.5, dtype)),
+         tau_p.astype(dtype),
+         jnp.broadcast_to(sigma, jnp.shape(tau_p)).astype(dtype),
+         jnp.full(jnp.shape(tau_p), 0.5, dtype)),
         xs, length=params.max_iters,
     )
 
