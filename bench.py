@@ -332,7 +332,8 @@ def _accurate_co_run(res, bench_fn, gap_fn, label_iters):
 
 
 def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
-              adaptive=False, probe=True, adapt_every=1):
+              adaptive=False, probe=True, adapt_every=1, precond=False,
+              pipeline=False):
     import jax
     import jax.numpy as jnp
 
@@ -348,7 +349,8 @@ def bench_mpc(batch, iters, reps, H=5, N=30, solver_name="packed",
     # ops/mpc_pallas.py body_adaptive).
     params = MPCParams(max_iters=iters, sigma_scale=2.0, feas_tol=2e-4,
                        proj_refresh_every=0 if adaptive else 16,
-                       adaptive=adaptive, adapt_every=adapt_every)
+                       adaptive=adaptive, adapt_every=adapt_every,
+                       precond=precond, pipeline_reduces=pipeline)
     solver = {
         "xla": solve_mpc_log_utility_batch,          # pure XLA scan
         "packed": solve_mpc_log_utility_pallas_packed,  # batch-in-lanes kernel
@@ -742,6 +744,14 @@ def main():
                     help="balance the adaptive steps every k-th "
                          "iteration for --mode accurate (skips the "
                          "residual reductions off-schedule)")
+    ap.add_argument("--precond", action="store_true",
+                    help="per-horizon-row diagonal step preconditioning "
+                         "(MPCParams.precond) for the mpc/accurate/"
+                         "long/assets500 modes")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="pipelined kernel reduces "
+                         "(MPCParams.pipeline_reduces) for mpc/long/"
+                         "assets500 modes")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
@@ -754,7 +764,8 @@ def main():
 
     if args.mode == "mpc":
         res = bench_mpc(args.batch or 8192, args.iters, args.reps,
-                        adaptive=args.adaptive)
+                        adaptive=args.adaptive, precond=args.precond,
+                        pipeline=args.pipeline)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30"
         if args.adaptive:
             metric += "_adaptive"
@@ -781,8 +792,10 @@ def main():
         # Reference-accuracy headline: residual-balancing adaptive PDHG
         # (objective gap <= 1e-4 at 1000 iterations, see RESULTS.md).
         res = bench_mpc(args.batch or 8192, args.iters, args.reps,
-                        adaptive=True, adapt_every=args.adapt_every)
+                        adaptive=True, adapt_every=args.adapt_every,
+                        precond=args.precond)
         res["adapt_every"] = args.adapt_every
+        res["precond"] = args.precond
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30_accurate"
     elif args.mode == "long":
         # probe=False: the objective-gap probe needs a cached f64 oracle
@@ -790,7 +803,8 @@ def main():
         # host polish (N=500: [5000, 5000] dense Jacobians). Only the
         # headline (H=5, N=30) key ships in bench_probe_cache.json.
         res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20,
-                        N=30, probe=False)
+                        N=30, probe=False, precond=args.precond,
+                        pipeline=args.pipeline)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
         if not args.quick:
             res.update(_gap_eval("log", 20, 30, max_iters=args.iters,
@@ -811,7 +825,8 @@ def main():
         # (1.5x the XLA scan at the headline, 1.7x the assets-in-lanes
         # kernel at N=500 — see ops/mpc_pallas.py docstring).
         res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5,
-                        N=500, probe=False)
+                        N=500, probe=False, precond=args.precond,
+                        pipeline=args.pipeline)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
         if not args.quick:
             res.update(_gap_eval("log", 5, 500, max_iters=args.iters,

@@ -786,18 +786,47 @@ def _boundary_refine_instance(w, p, cw, y, params):
         lp = _dual_slack_lp(grad0, S, A, sgn, Bm, c)
         if lp is not None:
             screened.append((lp[1], opt, S, A, sgn))
+
+    # NET-EXCESS MICRO-TRADE candidates (round 5 — the equal-weight tie
+    # class, every backtest's FIRST solve): float32-stored pre-trade
+    # weights do not sum to exactly 1 (1/20 in f32 leaves
+    # sum(cw) - 1 = +1.49e-8), so the t=0 simplex row FORCES a net trade
+    # of -delta that the |u| > 1e-6 classification cannot see — with no
+    # classified t=0 trade the restricted system is inconsistent by
+    # exactly delta, the measured ~1.5e-9 residual floor (delta/10)
+    # under every pattern stage. The optimum absorbs delta through ONE
+    # asset (the l1 cost is delta*c regardless of the split, so the
+    # smooth term picks the best single asset; ties broken by the
+    # ridge): enumerate which. Composes with the incumbent-residual
+    # acceptance — wrong enumerations are harmless.
+    delta = float(cw.sum()) - 1.0
+    if abs(delta) > 1e-13:
+        sell_sign = -np.sign(delta)
+        A_b, sgn_b = build_trades(S_base)
+        for i_s in range(N):
+            if S_base[0, i_s] <= 0 or A_b[0, i_s] > 0:
+                continue
+            A2 = A_b.copy()
+            sg2 = sgn_b.copy()
+            A2[0, i_s] = 1.0
+            sg2[0, i_s] = sell_sign
+            lp = _dual_slack_lp(grad0, S_base, A2, sg2, Bm, c)
+            if lp is not None:
+                screened.append((lp[1], ("net", i_s), S_base.copy(),
+                                 A2, sg2))
     if not screened:
         return None
     screened.sort(key=lambda z: -z[0])
 
     best = None
-    for slack0, opt, S, A, sgn in screened[:4]:
+    for slack0, opt, S, A, sgn in screened[:6]:
         # Primal solve with negative-support repair: a support component
         # the restricted solve drives negative is misclassified (should
         # be out, with a forced trade at the transition) — drop it,
         # rebuild the forced-transition trades, and re-solve. Wrong
         # repairs are harmless: the candidate still has to win the
         # residual acceptance below.
+        is_net = isinstance(opt, tuple) and len(opt) and opt[0] == "net"
         S = S.copy()
         for _ in range(4):
             wf, fprim = _solve_restricted_primal(w, cw, r, S, A, sgn,
@@ -807,6 +836,11 @@ def _boundary_refine_instance(w, p, cw, y, params):
                 break
             S[neg] = 0.0
             A, sgn = build_trades(S)
+            if is_net and S[0, opt[1]] > 0:
+                # re-apply the net-excess micro-trade pin the rebuild
+                # cannot see (|u| ~ 1e-8 < the 1e-6 classification)
+                A[0, opt[1]] = 1.0
+                sgn[0, opt[1]] = -np.sign(delta)
         if fprim > 1e-11 or wf.min() < -1e-10:
             continue
         wf = np.maximum(wf, 0.0)
@@ -1033,8 +1067,81 @@ def _ld_lu_solve(A, b):
     return x
 
 
+def _ld_pdhg_continue(w, p, cw, y, params, iters=200_000,
+                      check_every=20_000, verbose=False):
+    """Plain Condat-Vu PDHG on ONE instance in 80-bit longdouble with
+    EXACT sort-based projections — the extended-precision continuation
+    for stragglers whose f64 PDHG floors on arithmetic noise (measured:
+    the idx-76 class floors at ~5.7e-10 after 3M f64 iterations; the
+    same dynamics in longdouble continue to the true fixed point three
+    digits deeper). Same iteration as solve_mpc_log_utility_batch
+    (uniform steps, no warm-threshold approximation — thresholds are
+    exact here). Returns (w, q) float64.
+    """
+    if params.allow_short or params.max_turnover <= 0:
+        return None
+    H, N = y.shape
+    ld = np.longdouble
+    r = np.exp(np.asarray(y, ld))
+    cw = np.asarray(cw, ld)
+    w = np.asarray(w, ld)
+    q = np.asarray(p, ld)
+    ridge = ld(params.ridge)
+    c = ld(params.cost_coeff)
+    tau_to = ld(params.max_turnover)
+    one = ld(1.0)
+    L = np.max(np.sum(r * r, -1) / np.min(r, -1) ** 2) + ridge
+    sigma = ld(params.sigma_scale) * np.sqrt(L) / 2
+    tau = ld(params.step_scale) / (L / 2 + sigma * 4)
+    zrow = np.zeros((1, N), ld)
+
+    def P(v):
+        return np.maximum(v - _ld_simplex_threshold(v, one), 0)
+
+    def Q(vp):
+        u = vp / sigma
+        yv = np.sign(u) * np.maximum(np.abs(u) - c / sigma, 0)
+        a = np.abs(yv)
+        inside = a.sum(-1, keepdims=True) <= tau_to
+        th = np.maximum(_ld_simplex_threshold(a, tau_to), 0)
+        z = np.where(inside, yv, np.sign(yv) * np.maximum(a - th, 0))
+        return vp - sigma * z
+
+    def resid(w, q):
+        port = (w * r).sum(-1, keepdims=True)
+        grad = -r / port + ridge * w
+        Dtq = q - np.vstack([q[1:], zrow])
+        Rw = w - P(w - tau * (grad + Dtq))
+        u = w - np.vstack([cw[None], w[:-1]])
+        Rp = q - Q(q + sigma * u)
+        return float(np.sqrt((Rw * Rw).sum() + (Rp * Rp).sum()))
+
+    best = (resid(w, q), w.copy(), q.copy())
+    for k in range(iters):
+        port = (w * r).sum(-1, keepdims=True)
+        grad = -r / port + ridge * w
+        Dtq = q - np.vstack([q[1:], zrow])
+        w_new = P(w - tau * (grad + Dtq))
+        w_bar = 2 * w_new - w
+        u_bar = w_bar - np.vstack([cw[None], w_bar[:-1]])
+        q = Q(q + sigma * u_bar)
+        w = w_new
+        if (k + 1) % check_every == 0:
+            rr = resid(w, q)
+            if verbose:
+                print(f"  ld-pdhg {k + 1}: res {rr:.3e}", flush=True)
+            if rr < best[0]:
+                best = (rr, w.copy(), q.copy())
+            if rr < 1e-14:
+                break
+    rr = resid(w, q)
+    if rr < best[0]:
+        best = (rr, w, q)
+    return np.asarray(best[1], np.float64), np.asarray(best[2], np.float64)
+
+
 def _extended_polish_instance(w, p, cw, y, params, rounds=30,
-                              kink_scale=3.0):
+                              kink_scale=3.0, verbose=False):
     """Kink-aware semismooth Newton on ONE instance in 80-bit
     longdouble (see the section comment above). Inputs float64
     ([H, N] / [N]); returns (w, q) rounded to float64, or None when the
@@ -1098,13 +1205,18 @@ def _extended_polish_instance(w, p, cw, y, params, rounds=30,
 
     m = H * N
 
-    def dense_J(marg, eps):
+    def masks_of(marg, eps):
         a_m = (marg["mw"] > eps).astype(ld)
         s_m = (marg["ms"] > eps).astype(ld)
         outside = (marg["mo"] > eps).astype(ld)
-        act = (marg["ma"] > eps) * outside + s_m * (1 - outside)
-        sgn = marg["dir"] * act * outside
-        port = marg["port"]
+        act = ((marg["ma"] > eps) * outside + s_m * (1 - outside))
+        return {"a": a_m, "s": s_m, "out": outside, "act": act,
+                "dir": marg["dir"], "port": marg["port"]}
+
+    def dense_J_masks(mk):
+        a_m, s_m, outside, act = mk["a"], mk["s"], mk["out"], mk["act"]
+        sgn = mk["dir"] * act * outside
+        port = mk["port"]
         cnt_a = np.maximum(a_m.sum(-1, keepdims=True), 1)
         cnt_s = np.maximum(act.sum(-1, keepdims=True), 1)
 
@@ -1132,9 +1244,42 @@ def _extended_polish_instance(w, p, cw, y, params, rounds=30,
         )
         return cols.T                                     # [2m out, 2m in]
 
+    alphas = tuple(one / ld(2) ** k for k in range(14))
+
+    def try_masks(mk, rhs, w, q, res_best, w_best, q_best):
+        """Newton candidates from one B-subdifferential element: a
+        lightly-damped LU step and a residual-scaled Tikhonov/normal-
+        equations step (approximately min-norm — stays bounded when J is
+        singular along boundary-degenerate directions, the tie class's
+        failure mode), each backtracked."""
+        res = norm(*residual(w, q)[:2])
+        J = dense_J_masks(mk)
+        deltas = []
+        lam = max(res * ld(0.1), ld(1e-18))
+        Jd = J.copy()
+        Jd[np.arange(2 * m), np.arange(2 * m)] += lam
+        deltas.append(_ld_lu_solve(Jd, rhs))
+        mu = max(res * ld(1e-3), ld(1e-18)) ** 2
+        JtJ = J.T @ J
+        JtJ[np.arange(2 * m), np.arange(2 * m)] += mu
+        deltas.append(_ld_lu_solve(JtJ, J.T @ rhs))
+        for delta in deltas:
+            if not np.all(np.isfinite(delta)):
+                continue
+            dw = delta[:m].reshape(H, N)
+            dq = delta[m:].reshape(H, N)
+            for alpha in alphas:
+                wt = w + alpha * dw
+                qt = q + alpha * dq
+                Rwt, Rpt, _mt = residual(wt, qt)
+                rt = norm(Rwt, Rpt)
+                if np.isfinite(rt) and rt < res_best:
+                    w_best, q_best, res_best = wt, qt, rt
+                    break   # largest improving step for this delta
+        return res_best, w_best, q_best
+
     Rw, Rp, marg = residual(w, q)
     res = norm(Rw, Rp)
-    alphas = tuple(one / ld(2) ** k for k in range(14))
     for _ in range(rounds):
         if not np.isfinite(res) or res < ld(1e-16):
             break
@@ -1142,35 +1287,39 @@ def _extended_polish_instance(w, p, cw, y, params, rounds=30,
         w_best, q_best, res_best = w, q, res
         rhs = -np.concatenate([Rw.ravel(), Rp.ravel()])
         for eps in (ld(0), -eps0, eps0):
-            J = dense_J(marg, eps)
-            # Two step candidates per element: a lightly-damped LU (the
-            # superlinear step when J is well-posed at the current
-            # pattern) and a residual-scaled Tikhonov/normal-equations
-            # step (an approximate min-norm step that stays bounded when
-            # J is singular along boundary-degenerate directions — the
-            # exact failure mode of the tie class).
-            deltas = []
-            lam = max(res * ld(0.1), ld(1e-18))
-            Jd = J.copy()
-            Jd[np.arange(2 * m), np.arange(2 * m)] += lam
-            deltas.append(_ld_lu_solve(Jd, rhs))
-            mu = max(res * ld(1e-3), ld(1e-18)) ** 2
-            JtJ = J.T @ J
-            JtJ[np.arange(2 * m), np.arange(2 * m)] += mu
-            deltas.append(_ld_lu_solve(JtJ, J.T @ rhs))
-            for delta in deltas:
-                if not np.all(np.isfinite(delta)):
-                    continue
-                dw = delta[:m].reshape(H, N)
-                dq = delta[m:].reshape(H, N)
-                for alpha in alphas:
-                    wt = w + alpha * dw
-                    qt = q + alpha * dq
-                    Rwt, Rpt, _mt = residual(wt, qt)
-                    rt = norm(Rwt, Rpt)
-                    if np.isfinite(rt) and rt < res_best:
-                        w_best, q_best, res_best = wt, qt, rt
-                        break   # largest improving step for this delta
+            res_best, w_best, q_best = try_masks(
+                masks_of(marg, eps), rhs, w, q, res_best, w_best, q_best
+            )
+        if res_best >= res * ld(0.999999999):
+            # Blanket EXPAND/SHRINK elements exhausted: the remaining
+            # stall mode (the maximal-tie class) is a SUBSET of the
+            # ~N-per-date tied kink components needing to flip, which no
+            # blanket eps can select. GREEDY SINGLE-KINK FLIPS: try the
+            # near-kink coordinates one at a time (each flip is a
+            # different, equally valid B-subdifferential element) and
+            # keep the best resulting iterate; repeat via the outer
+            # loop while progress continues.
+            base = masks_of(marg, ld(0))
+            cands = []
+            for fam, margin in (("a", marg["mw"]), ("s", marg["ms"]),
+                                ("act", marg["ma"])):
+                am = np.abs(np.asarray(margin, np.float64))
+                for t, i in np.argwhere(am < float(eps0)):
+                    cands.append((am[t, i], fam, int(t), int(i)))
+            cands.sort()
+            for _score, fam, t, i in cands[:48]:
+                mk = {k: (v.copy() if hasattr(v, "copy") else v)
+                      for k, v in base.items()}
+                mk[fam][t, i] = 1.0 - mk[fam][t, i]
+                res_best, w_best, q_best = try_masks(
+                    mk, rhs, w, q, res_best, w_best, q_best
+                )
+                if res_best < res * ld(0.5):
+                    break        # a flip broke the stall; recurse via
+                                 # the outer round with fresh margins
+        if verbose:
+            print(f"  ext round: res {float(res):.3e} -> "
+                  f"{float(res_best):.3e}", flush=True)
         if res_best >= res * ld(0.999999999):
             break
         w, q, res = w_best, q_best, res_best
@@ -1656,6 +1805,64 @@ def solve_mpc_log_utility_batch_polished(
                     ).reshape(shp)
             w_cur = wf.reshape(shp)
             p_cur = pf.reshape(shp)
+            pol_info = dict(pol_info)
+            pol_info["residual_after"] = jnp.asarray(new_res).reshape(
+                res_np.shape
+            )
+            pol_info["dual"] = p_cur
+            pol_info["accepted"] = pol_info["accepted"] | (
+                pol_info["residual_after"] < pol_info["residual_before"]
+            )
+
+        # LONG f64 CONTINUATION (round 5): before the expensive
+        # pattern-free fallbacks, give stragglers a deep warm-started
+        # f64 PDHG run in 100k-iteration chunks (B=1 chunks cost ~5-10 s
+        # each on host CPU). The round-4 "x0.5 residual per 100k —
+        # orders too slow" extrapolation was WRONG on the tie class: the
+        # measured decay is flat-flat-CLIFF (7.6e-9 after 100k, 7.9e-9
+        # after 200k, 2.6e-15 after 300k on the equal-weight
+        # first-rebalance instance) — the iteration crosses a
+        # combinatorial watershed (the tied micro active set finally
+        # settles) and then converges at machine rate, so one must run
+        # PAST the plateau rather than extrapolate from it.
+        res_np = np.asarray(pol_info["residual_after"])
+        flat_res = res_np.reshape(-1)
+        bad = np.where(flat_res > 1e-11)[0]
+        if 0 < bad.size <= max(16, flat_res.size // 4):
+            shp = w_cur.shape
+            wf = w_cur.reshape((-1,) + shp[-2:])
+            pf = p_cur.reshape((-1,) + shp[-2:])
+            wi_f = w_it.reshape((-1,) + shp[-2:])
+            cwf = np.asarray(cw64).reshape(-1, shp[-1])
+            yf = np.asarray(y64).reshape((-1,) + shp[-2:])
+            rf = np.exp(yf)
+            new_res = flat_res.copy()
+            deep = replace(params, max_iters=100_000)
+            for bdx in bad:
+                w_c = wi_f[bdx][None]
+                p_c = pf[bdx][None]
+                r_c = new_res[bdx]
+                for _chunk in range(10):
+                    w_c, cinfo3 = solve_mpc_log_utility_batch(
+                        jnp.asarray(cwf[bdx][None]),
+                        jnp.asarray(yf[bdx][None]), deep,
+                        w_warm=w_c, p_warm=p_c,
+                    )
+                    p_c = cinfo3["dual"]
+                    r_c = _pair_residual(
+                        np.asarray(w_c[0]), np.asarray(p_c[0]),
+                        rf[bdx], cwf[bdx], params,
+                    )
+                    if r_c < 1e-12:
+                        break
+                if np.isfinite(r_c) and r_c < new_res[bdx]:
+                    wf = wf.at[bdx].set(w_c[0])
+                    pf = pf.at[bdx].set(p_c[0])
+                    wi_f = wi_f.at[bdx].set(w_c[0])
+                    new_res[bdx] = r_c
+            w_cur = wf.reshape(shp)
+            p_cur = pf.reshape(shp)
+            w_it = wi_f.reshape(shp)
             pol_info = dict(pol_info)
             pol_info["residual_after"] = jnp.asarray(new_res).reshape(
                 res_np.shape
