@@ -211,8 +211,11 @@ def _ref_objectives(kind, H, N, S=None, n=16):
     import json as _json
     from pathlib import Path
 
-    method = ("polish" if kind == "log" and (H, N) in ((20, 30),)
-              else "f64pdhg")
+    # All non-headline shapes use the f64 adaptive-PDHG reference: the
+    # verified-polish oracle at H=20 means [1200]^2 SVDs x 16 instances
+    # x dozens of Newton/pattern rounds — hours of host time for
+    # accuracy far beyond what a 1e-4-scale gap probe needs.
+    method = "f64pdhg"
     key = (f"{kind}_H{H}_N{N}" + (f"_S{S}" if S else "")
            + f"_n{n}_seed{_PROBE_SEED + 7}_{method}")
     path = Path(__file__).resolve().parent / _PROBE_CACHE
@@ -763,8 +766,14 @@ def main():
         args.reps = 2
 
     if args.mode == "mpc":
-        res = bench_mpc(args.batch or 8192, args.iters, args.reps,
-                        adaptive=args.adaptive, precond=args.precond,
+        # precond on by default (round 5): the per-horizon-row diagonal
+        # steps measured FASTER at the headline (two same-session A/Bs:
+        # 193.5k vs 184.2k and 194.1k vs 177.7k) at a better probe gap
+        # (9.5e-4 vs 1.15e-3) — larger boundary-row steps settle the
+        # active set sooner, so the warm Michelot sweeps converge in
+        # fewer effective corrections.
+        res = bench_mpc(args.batch or 65536, args.iters, args.reps,
+                        adaptive=args.adaptive, precond=True,
                         pipeline=args.pipeline)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N30"
         if args.adaptive:
@@ -775,23 +784,30 @@ def main():
             # at reference accuracy (<= 1e-4; ECOS solves the per-date
             # program to ~1e-8, reference: mpc.py:107-111 — see
             # RESULTS.md "accuracy ladder").
-            # adapt_every=2: the measured matched-accuracy frontier of
-            # the sparse-balancing ladder (round 4, same-session A/B:
-            # k=1 133.8k @ gap 9.0e-5, k=2 147.9k @ 9.6e-5, k=4@1000
-            # 150.4k @ 1.14e-4 > 1e-4, k=8@1500 130.3k @ 5.6e-5 —
-            # balancing frequency trades accuracy, so large k loses at
-            # matched gap).
-            acc = bench_mpc(args.batch or 8192, args.iters, args.reps,
-                            adaptive=True, adapt_every=2)
+            # adapt_every=2 + precond @ 800 iterations: the round-5
+            # matched-accuracy frontier. The per-horizon-row diagonal
+            # preconditioner costs ~nothing per iteration (the step
+            # constants widen from [1,1,TB] to [H,1,TB]) and reaches
+            # the k=2 ladder's 9.6e-5 gap at 800 instead of 1000
+            # iterations (chip, 2026-08-21: gap 1.20e-4@750 /
+            # 9.59e-5@800 / 8.2e-5@850 / 5.6e-5@1000; 176.1k@800 under
+            # load vs the round-4 147.9k@1000 frontier). Round-4 ladder
+            # for reference: k=1 133.8k @ 9.0e-5, k=2 147.9k @ 9.6e-5;
+            # larger k loses at matched gap.
+            acc = bench_mpc(args.batch or 65536,
+                            800 if args.iters == 1000 else args.iters,
+                            args.reps, adaptive=True, adapt_every=2,
+                            precond=True)
             res["accurate_solves_per_s"] = round(acc["value"], 1)
             res["accurate_objective_gap_median"] = acc[
                 "objective_gap_median"]
             res["accurate_pdhg_iters"] = acc["pdhg_iters"]
             res["accurate_spread_pct"] = acc["spread_pct"]
+            res["accurate_precond"] = True
     elif args.mode == "accurate":
         # Reference-accuracy headline: residual-balancing adaptive PDHG
         # (objective gap <= 1e-4 at 1000 iterations, see RESULTS.md).
-        res = bench_mpc(args.batch or 8192, args.iters, args.reps,
+        res = bench_mpc(args.batch or 65536, args.iters, args.reps,
                         adaptive=True, adapt_every=args.adapt_every,
                         precond=args.precond)
         res["adapt_every"] = args.adapt_every
@@ -802,7 +818,7 @@ def main():
         # for the EXACT (H, N); building one implicitly is a multi-hour
         # host polish (N=500: [5000, 5000] dense Jacobians). Only the
         # headline (H=5, N=30) key ships in bench_probe_cache.json.
-        res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=20,
+        res = bench_mpc(args.batch or 16384, args.iters, args.reps, H=20,
                         N=30, probe=False, precond=args.precond,
                         pipeline=args.pipeline)
         metric = "mpc_log_utility_solves_per_s_per_chip_H20_N30"
@@ -812,7 +828,7 @@ def main():
                                  proj_refresh_every=16))
             _accurate_co_run(
                 res,
-                lambda: bench_mpc(args.batch or 4096, args.iters,
+                lambda: bench_mpc(args.batch or 16384, args.iters,
                                   args.reps, H=20, N=30, probe=False,
                                   adaptive=True, adapt_every=2),
                 lambda: _gap_eval("log", 20, 30, max_iters=args.iters,
@@ -824,9 +840,13 @@ def main():
         # All regimes now use the batch-in-lanes VMEM-resident kernel
         # (1.5x the XLA scan at the headline, 1.7x the assets-in-lanes
         # kernel at N=500 — see ops/mpc_pallas.py docstring).
-        res = bench_mpc(args.batch or 1024, args.iters, args.reps, H=5,
+        # pipeline_reduces on by default here: the dual-side reduce
+        # pipelining is built for the MXU-reduce regime (NP >= 64) and
+        # measured +10-20% at N=500 (round 5; obj diff 6e-5 vs the
+        # refresh body — same accuracy class as the refresh schedule).
+        res = bench_mpc(args.batch or 4096, args.iters, args.reps, H=5,
                         N=500, probe=False, precond=args.precond,
-                        pipeline=args.pipeline)
+                        pipeline=True)
         metric = "mpc_log_utility_solves_per_s_per_chip_H5_N500"
         if not args.quick:
             res.update(_gap_eval("log", 5, 500, max_iters=args.iters,
@@ -834,7 +854,7 @@ def main():
                                  proj_refresh_every=16))
             _accurate_co_run(
                 res,
-                lambda: bench_mpc(args.batch or 1024, args.iters,
+                lambda: bench_mpc(args.batch or 4096, args.iters,
                                   args.reps, H=5, N=500, probe=False,
                                   adaptive=True, adapt_every=2),
                 lambda: _gap_eval("log", 5, 500, max_iters=args.iters,
@@ -843,7 +863,7 @@ def main():
                 args.iters,
             )
     elif args.mode == "scenario":
-        res = bench_scenario(args.batch or 4096, args.iters, args.reps)
+        res = bench_scenario(args.batch or 16384, args.iters, args.reps)
         metric = "scenario_kelly_solves_per_s_per_chip_S16_H5_N30"
         if not args.quick:
             res.update(_gap_eval("scenario", 5, 30, S=16,
@@ -851,7 +871,7 @@ def main():
                                  proj_refresh_every=16))
             _accurate_co_run(
                 res,
-                lambda: bench_scenario(args.batch or 4096, args.iters,
+                lambda: bench_scenario(args.batch or 16384, args.iters,
                                        args.reps, adaptive=True,
                                        adapt_every=2),
                 lambda: _gap_eval("scenario", 5, 30, S=16,
@@ -866,7 +886,7 @@ def main():
         # each -> O(10-100) dates/s; use 100/s as the generous baseline.
         baseline = 100.0
     elif args.mode == "markowitz":
-        res = bench_markowitz(args.batch or 4096, args.iters, args.reps,
+        res = bench_markowitz(args.batch or 65536, args.iters, args.reps,
                               unroll=args.mv_unroll)
         metric = "mean_variance_solves_per_s_per_chip_H1_N30"
         if not args.quick:
@@ -875,7 +895,7 @@ def main():
                                  proj_refresh_every=16))
             _accurate_co_run(
                 res,
-                lambda: bench_markowitz(args.batch or 4096, args.iters,
+                lambda: bench_markowitz(args.batch or 65536, args.iters,
                                         args.reps, adaptive=True,
                                         adapt_every=2),
                 lambda: _gap_eval("mv", 1, 30, max_iters=args.iters,

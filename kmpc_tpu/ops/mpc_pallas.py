@@ -493,71 +493,128 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
 
             return body
 
-        def make_body_pipe(refresh):
-            # PIPELINED REDUCES (round 5): the refresh-schedule body with
-            # the reduce -> threshold dependence chain broken. Off-refresh
-            # iterations project with the CARRIED thresholds and carried
-            # ball-membership l1 (computed from the PREVIOUS iteration's
-            # pre-projection values — one extra step of the same trailing
-            # lag proj_refresh_every already introduces), then issue this
-            # iteration's sweep reduces whose results ride the carry to
-            # iteration i+1. The MXU staging round-trips (the N=500
-            # kernel's measured critical path, RESULTS.md roofline) thus
-            # overlap the downstream elementwise work instead of gating
-            # the projection. Refresh iterations re-converge the
-            # thresholds synchronously from the current values, bounding
-            # the drift exactly as the refresh schedule does.
-            def body(i, carry):
-                w, p, th_w, th_p, l1s = carry
-                pred = (i % refresh) == 0
-                vm = primal_pre(w, p) + nm
-                th_use = jax.lax.cond(
-                    pred,
-                    lambda a: _packed_threshold(
-                        a[0], 1.0, warm_iters, theta0=a[1],
-                        n_valid=float(N),
-                    ),
-                    lambda a: a[1],
-                    (vm, th_w),
-                )
-                w_new = jnp.maximum(vm - th_use, 0.0)
-                # Next iteration's threshold: one Newton sweep on the
-                # CURRENT vm, consumed at i+1 (off the critical path).
-                active = vm > th_use
-                cnt, s = _sum_assets2(
-                    active.astype(vm.dtype), jnp.where(active, vm, 0.0)
-                )
-                th_w_next = (s - 1.0) / jnp.maximum(cnt, 1.0)
+        def make_trip_pipe(k):
+            # PIPELINED REDUCES (round 5): break the reduce -> threshold
+            # dependence chain — the N=500 kernel's measured critical
+            # path (an MXU staging round-trip gates the projection,
+            # RESULTS.md roofline). Design constraints learned by
+            # measurement: Mosaic neither software-pipelines across
+            # fori_loop carry boundaries nor schedules across lax.cond
+            # boundaries, so a cond-based stale-threshold body measured
+            # SLOWER (11.8k vs 13.8k). This version is COND-FREE and
+            # STATICALLY UNROLLED: each loop trip runs k-1 pipelined
+            # iterations (project with the CARRIED one-iteration-stale
+            # thresholds and ball l1, then issue this iteration's sweep
+            # whose result feeds the NEXT in-block iteration — the MXU
+            # round-trip overlaps the iteration's own elementwise tail)
+            # followed by ONE synchronous full-budget iteration that
+            # re-converges the thresholds from the current values,
+            # bounding the trailing drift like proj_refresh_every does.
+            def grad_step(w, p, port):
+                # primal_pre with the CARRIED (exact) portfolio sums:
+                # the port reduce is issued on w_new at the END of each
+                # iteration and consumed here next iteration — same
+                # math, one fewer MXU round-trip on the critical path.
+                if S is None:
+                    g = r * (tau_p / jnp.maximum(port, 1e-12))
+                else:
+                    g = jnp.mean(
+                        r * (tau_p / jnp.maximum(port, 1e-12)), axis=0
+                    )
+                base = w if ridge == 0.0 else c1 * w
+                return base + (g - tau_p * apply_Dt(p))
+
+            def port_of(w):
+                return _sum_assets(w * r if S is None else w[None] * r)
+
+            def pipe_iter(cy):
+                # The PRIMAL Michelot sweep stays SYNCHRONOUS: a
+                # one-iteration-stale simplex threshold has feedback
+                # gain proportional to the active count (sum w_new
+                # moves by cnt * theta_error per iteration), which is
+                # stable at N=30 but measured DIVERGENT at N=500
+                # (fp residual ~1e8). The dual ball threshold, the
+                # ball-membership l1, and the portfolio sums are the
+                # pipelined ones — the dual is intrinsically stable
+                # (p is clipped to [-bound, bound] every iteration) and
+                # the port carry is EXACT (just hoisted).
+                w, p, th_w, th_p, l1s, port = cy
+                vm = grad_step(w, p, port) + nm
+                th_w = _packed_threshold(vm, 1.0, 1, theta0=th_w,
+                                         n_valid=float(N))
+                w_new = jnp.maximum(vm - th_w, 0.0)
                 w_bar = 2.0 * w_new - w
                 q = p + sigma * apply_D(w_bar)
                 aq = jnp.maximum(jnp.abs(q) - c, 0.0)
                 if use_ball:
                     aqm = aq + nm
-                    th_p_use = jax.lax.cond(
-                        pred,
-                        lambda a: _packed_threshold(
-                            a[0], sig_tau, warm_iters, theta0=a[1],
-                            n_valid=float(N),
-                        ),
-                        lambda a: a[1],
-                        (aqm, th_p),
-                    )
                     bound = c + jnp.where(
-                        l1s <= sig_tau, 0.0, jnp.maximum(th_p_use, 0.0)
+                        l1s <= sig_tau, 0.0, jnp.maximum(th_p, 0.0)
                     )
                     p_new = jnp.clip(q, -bound, bound)
-                    l1_next, th_p_next = _ball_l1_and_sweep(
-                        aqm, aq, sig_tau, th_p_use
-                    )
                 else:
                     p_new = jnp.clip(q, -c, c)
-                    l1_next, th_p_next = l1s, th_p
                 if rho != 1.0:
                     w_new = w + rho * (w_new - w)
                     p_new = p + rho * (p_new - p)
-                return (w_new, p_new, th_w_next, th_p_next, l1_next)
+                # End-of-body stacked reduce, consumed NEXT iteration:
+                # ball count/sum + l1 + portfolio sums in one MXU
+                # staging round-trip off the critical path.
+                if use_ball:
+                    ball_act = aqm > th_p
+                    if S is None:
+                        cnt_p, s_p, l1_n, port_n = _sum_assets_n(
+                            ball_act.astype(vm.dtype),
+                            jnp.where(ball_act, aqm, 0.0),
+                            aq, w_new * r,
+                        )
+                    else:
+                        cnt_p, s_p, l1_n = _sum_assets_n(
+                            ball_act.astype(vm.dtype),
+                            jnp.where(ball_act, aqm, 0.0), aq,
+                        )
+                        port_n = port_of(w_new)
+                    th_p_n = (s_p - sig_tau) / jnp.maximum(cnt_p, 1.0)
+                else:
+                    port_n = port_of(w_new)
+                    l1_n, th_p_n = l1s, th_p
+                return (w_new, p_new, th_w, th_p_n, l1_n, port_n)
 
-            return body
+            def sync_iter(cy):
+                w, p, th_w, th_p, l1s, port = cy
+                vm = grad_step(w, p, port) + nm
+                th_w = _packed_threshold(vm, 1.0, warm_iters,
+                                         theta0=th_w, n_valid=float(N))
+                w_new = jnp.maximum(vm - th_w, 0.0)
+                w_bar = 2.0 * w_new - w
+                q = p + sigma * apply_D(w_bar)
+                aq = jnp.maximum(jnp.abs(q) - c, 0.0)
+                if use_ball:
+                    aqm = aq + nm
+                    l1s, th_p = _ball_l1_and_sweep(aqm, aq, sig_tau,
+                                                   th_p)
+                    if warm_iters > 1:
+                        th_p = _packed_threshold(
+                            aqm, sig_tau, warm_iters - 1, theta0=th_p,
+                            n_valid=float(N),
+                        )
+                    bound = c + jnp.where(
+                        l1s <= sig_tau, 0.0, jnp.maximum(th_p, 0.0)
+                    )
+                    p_new = jnp.clip(q, -bound, bound)
+                else:
+                    p_new = jnp.clip(q, -c, c)
+                if rho != 1.0:
+                    w_new = w + rho * (w_new - w)
+                    p_new = p + rho * (p_new - p)
+                return (w_new, p_new, th_w, th_p, l1s, port_of(w_new))
+
+            def trip(_t, cy):
+                for _j in range(k - 1):
+                    cy = pipe_iter(cy)
+                return sync_iter(cy)
+
+            return trip, sync_iter
 
         def body_adaptive(i, carry, do_bal=None):
             # Residual-balancing adaptive steps (ops/mpc.py body's
@@ -682,10 +739,18 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                     0, params.max_iters, body_adaptive, carry_a,
                 )
         elif warm and refresh > 1 and params.pipeline_reduces:
-            carry_p = carry0 + (jnp.zeros_like(th_w0),)   # stale l1 seed
-            w, p, _, _, _ = jax.lax.fori_loop(
-                0, params.max_iters, make_body_pipe(refresh), carry_p
-            )
+            port0 = _sum_assets(w0 * r if S is None else w0[None] * r)
+            carry_p = carry0 + (jnp.zeros_like(th_w0), port0)
+            # Cap the static unroll at 8 sub-iterations/trip: larger
+            # blocks risk the scoped-VMEM overflow the round-2 blocked
+            # refresh variant hit at N=500 working sets.
+            k_pipe = min(refresh, 16)
+            trip, sync_one = make_trip_pipe(k_pipe)
+            n_trips, rem = divmod(params.max_iters, k_pipe)
+            carry_p = jax.lax.fori_loop(0, n_trips, trip, carry_p)
+            for _j in range(rem):
+                carry_p = sync_one(carry_p)
+            w, p = carry_p[0], carry_p[1]
         elif warm and refresh > 1:
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, make_body_cond(refresh), carry0
