@@ -826,15 +826,21 @@ def main():
             res.update(_gap_eval("log", 20, 30, max_iters=args.iters,
                                  sigma_scale=2.0, feas_tol=2e-4,
                                  proj_refresh_every=16))
+            # H=20 needs 4x the headline's adaptive budget for the
+            # <=1e-4 gap (calibrated on the chip: adaptive k=2 +
+            # precond gap 2.7e-4@2000 / 7.3e-5@4000).
+            acc_iters = 4 * args.iters if args.iters == 1000 else args.iters
             _accurate_co_run(
                 res,
-                lambda: bench_mpc(args.batch or 16384, args.iters,
+                lambda: bench_mpc(args.batch or 16384, acc_iters,
                                   args.reps, H=20, N=30, probe=False,
-                                  adaptive=True, adapt_every=2),
-                lambda: _gap_eval("log", 20, 30, max_iters=args.iters,
+                                  adaptive=True, adapt_every=2,
+                                  precond=True),
+                lambda: _gap_eval("log", 20, 30, max_iters=acc_iters,
                                   sigma_scale=2.0, feas_tol=2e-4,
-                                  adaptive=True, adapt_every=2),
-                args.iters,
+                                  adaptive=True, adapt_every=2,
+                                  precond=True),
+                acc_iters,
             )
     elif args.mode == "assets500":
         # All regimes now use the batch-in-lanes VMEM-resident kernel
@@ -851,16 +857,28 @@ def main():
         if not args.quick:
             res.update(_gap_eval("log", 5, 500, max_iters=args.iters,
                                  sigma_scale=2.0, feas_tol=2e-4,
-                                 proj_refresh_every=16))
+                                 proj_refresh_every=16,
+                                 pipeline_reduces=True))
+            # The adaptive body exceeds VMEM at N=500 (XLA fallback:
+            # ~1k solves/s), so the high-accuracy row runs the packed
+            # pipeline kernel at 10x budget instead. First-order
+            # methods hit an accuracy wall at this conditioning:
+            # measured gap 2.3e-3@4000 / 7.2e-4@10000 — the co-row
+            # reports the 10k-budget point with its honest gap (the
+            # reference's ECOS at N=500 [~1500-var cones] would run
+            # O(0.1-1 s)/solve, i.e. ~1-10 solves/s sequential).
+            acc_iters = (10 * args.iters if args.iters == 1000
+                         else args.iters)
             _accurate_co_run(
                 res,
-                lambda: bench_mpc(args.batch or 4096, args.iters,
+                lambda: bench_mpc(args.batch or 4096, acc_iters,
                                   args.reps, H=5, N=500, probe=False,
-                                  adaptive=True, adapt_every=2),
-                lambda: _gap_eval("log", 5, 500, max_iters=args.iters,
+                                  pipeline=True),
+                lambda: _gap_eval("log", 5, 500, max_iters=acc_iters,
                                   sigma_scale=2.0, feas_tol=2e-4,
-                                  adaptive=True, adapt_every=2),
-                args.iters,
+                                  proj_refresh_every=16,
+                                  pipeline_reduces=True),
+                acc_iters,
             )
     elif args.mode == "scenario":
         res = bench_scenario(args.batch or 16384, args.iters, args.reps)

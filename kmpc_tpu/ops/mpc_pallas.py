@@ -510,23 +510,6 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
             # followed by ONE synchronous full-budget iteration that
             # re-converges the thresholds from the current values,
             # bounding the trailing drift like proj_refresh_every does.
-            def grad_step(w, p, port):
-                # primal_pre with the CARRIED (exact) portfolio sums:
-                # the port reduce is issued on w_new at the END of each
-                # iteration and consumed here next iteration — same
-                # math, one fewer MXU round-trip on the critical path.
-                if S is None:
-                    g = r * (tau_p / jnp.maximum(port, 1e-12))
-                else:
-                    g = jnp.mean(
-                        r * (tau_p / jnp.maximum(port, 1e-12)), axis=0
-                    )
-                base = w if ridge == 0.0 else c1 * w
-                return base + (g - tau_p * apply_Dt(p))
-
-            def port_of(w):
-                return _sum_assets(w * r if S is None else w[None] * r)
-
             def pipe_iter(cy):
                 # The PRIMAL Michelot sweep stays SYNCHRONOUS: a
                 # one-iteration-stale simplex threshold has feedback
@@ -538,8 +521,8 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 # pipelined ones — the dual is intrinsically stable
                 # (p is clipped to [-bound, bound] every iteration) and
                 # the port carry is EXACT (just hoisted).
-                w, p, th_w, th_p, l1s, port = cy
-                vm = grad_step(w, p, port) + nm
+                w, p, th_w, th_p, l1s = cy
+                vm = primal_pre(w, p) + nm
                 th_w = _packed_threshold(vm, 1.0, 1, theta0=th_w,
                                          n_valid=float(N))
                 w_new = jnp.maximum(vm - th_w, 0.0)
@@ -562,27 +545,18 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 # staging round-trip off the critical path.
                 if use_ball:
                     ball_act = aqm > th_p
-                    if S is None:
-                        cnt_p, s_p, l1_n, port_n = _sum_assets_n(
-                            ball_act.astype(vm.dtype),
-                            jnp.where(ball_act, aqm, 0.0),
-                            aq, w_new * r,
-                        )
-                    else:
-                        cnt_p, s_p, l1_n = _sum_assets_n(
-                            ball_act.astype(vm.dtype),
-                            jnp.where(ball_act, aqm, 0.0), aq,
-                        )
-                        port_n = port_of(w_new)
+                    cnt_p, s_p, l1_n = _sum_assets_n(
+                        ball_act.astype(vm.dtype),
+                        jnp.where(ball_act, aqm, 0.0), aq,
+                    )
                     th_p_n = (s_p - sig_tau) / jnp.maximum(cnt_p, 1.0)
                 else:
-                    port_n = port_of(w_new)
                     l1_n, th_p_n = l1s, th_p
-                return (w_new, p_new, th_w, th_p_n, l1_n, port_n)
+                return (w_new, p_new, th_w, th_p_n, l1_n)
 
             def sync_iter(cy):
-                w, p, th_w, th_p, l1s, port = cy
-                vm = grad_step(w, p, port) + nm
+                w, p, th_w, th_p, l1s = cy
+                vm = primal_pre(w, p) + nm
                 th_w = _packed_threshold(vm, 1.0, warm_iters,
                                          theta0=th_w, n_valid=float(N))
                 w_new = jnp.maximum(vm - th_w, 0.0)
@@ -607,7 +581,7 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                 if rho != 1.0:
                     w_new = w + rho * (w_new - w)
                     p_new = p + rho * (p_new - p)
-                return (w_new, p_new, th_w, th_p, l1s, port_of(w_new))
+                return (w_new, p_new, th_w, th_p, l1s)
 
             def trip(_t, cy):
                 for _j in range(k - 1):
@@ -739,18 +713,17 @@ def _make_packed_kernel(params: MPCParams, H: int, N: int, NP: int,
                     0, params.max_iters, body_adaptive, carry_a,
                 )
         elif warm and refresh > 1 and params.pipeline_reduces:
-            port0 = _sum_assets(w0 * r if S is None else w0[None] * r)
-            carry_p = carry0 + (jnp.zeros_like(th_w0), port0)
+            carry_p = carry0 + (jnp.zeros_like(th_w0),)
             # Cap the static unroll at 8 sub-iterations/trip: larger
             # blocks risk the scoped-VMEM overflow the round-2 blocked
             # refresh variant hit at N=500 working sets.
-            k_pipe = min(refresh, 16)
+            k_pipe = min(refresh, 8)
             trip, sync_one = make_trip_pipe(k_pipe)
             n_trips, rem = divmod(params.max_iters, k_pipe)
             carry_p = jax.lax.fori_loop(0, n_trips, trip, carry_p)
             for _j in range(rem):
                 carry_p = sync_one(carry_p)
-            w, p = carry_p[0], carry_p[1]
+            w, p, _, _, _ = carry_p
         elif warm and refresh > 1:
             w, p, _, _ = jax.lax.fori_loop(
                 0, params.max_iters, make_body_cond(refresh), carry0
