@@ -516,7 +516,7 @@ def bench_backtest(reps, n_dates=4096, n_assets=30, sweeps=8):
     strat = KoopmanMPCStrategy(
         model=model, params=params,
         mpc=MPCParams(max_iters=500, sigma_scale=2.0,
-                      proj_refresh_every=16),
+                      proj_refresh_every=16, precond=True),
         use_fused_kernel=True,
     )
     bt = BacktestConfig(HORIZON=5)

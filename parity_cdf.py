@@ -291,6 +291,45 @@ def run_polish_chunks(family, cw, ys, ridge, iters, cycles, cache_dir,
 
 
 # ---------------------------------------------------------------------------
+# Uncached one-shot helpers (tests / ad-hoc studies)
+# ---------------------------------------------------------------------------
+
+
+def solve_oracle(cw, ys, ridge, workers=2):
+    """Full [n, H, N] oracle solutions + per-instance optimal flags
+    (no cache — the resumable pipeline uses solve_oracle_cached)."""
+    jobs = [(i, cw[i], ys[i], ridge) for i in range(cw.shape[0])]
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        out = list(pool.map(_oracle_one, jobs, chunksize=4))
+    h, n_ = ys.shape[1:]
+    w = np.stack([np.asarray(o["w"]).reshape(h, n_) for o in out])
+    ok = np.asarray([o["optimal"] for o in out])
+    return w, ok
+
+
+def solve_pdhg(cw, ys, ridge, iters, polish=False, cycles=3):
+    import jax.numpy as jnp
+
+    from kmpc_tpu.ops.mpc import MPCParams, solve_mpc_log_utility_batch
+
+    params = MPCParams(max_iters=iters, sigma_scale=2.0, ridge=ridge,
+                       polish=polish, polish_newton=4)
+    cwj = jnp.asarray(cw)
+    ysj = jnp.asarray(ys)
+    if polish:
+        from kmpc_tpu.ops.mpc_polish import (
+            solve_mpc_log_utility_batch_polished,
+        )
+
+        w, info = solve_mpc_log_utility_batch_polished(
+            cwj, ysj, params, cycles=cycles
+        )
+        return np.asarray(w), np.asarray(info["residual_after"])
+    w, info = solve_mpc_log_utility_batch(cwj, ysj, params)
+    return np.asarray(w), np.asarray(info["converged"])
+
+
+# ---------------------------------------------------------------------------
 # Stats / merge
 # ---------------------------------------------------------------------------
 
