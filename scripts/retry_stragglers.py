@@ -27,6 +27,8 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "float32")
+    jax.config.update("jax_enable_x64", True)   # the deep-continuation
+    # phase threads f64 iterates through the batch solver
     import jax.numpy as jnp
 
     from dataclasses import replace
@@ -40,7 +42,8 @@ def main():
 
     cache = Path("parity_cache/polish_realistic.jsonl")
     recs = [json.loads(line) for line in cache.open()]
-    bad = [r for r in recs if r["residual_after"] >= 1e-10]
+    bad = sorted((r for r in recs if r["residual_after"] >= 1e-10),
+                 key=lambda r: r["residual_after"])   # near-bar first
     print(f"{len(recs)} records, {len(bad)} uncertified:"
           f" {[r['idx'] for r in bad]}", flush=True)
     if not bad:
